@@ -1,0 +1,54 @@
+import numpy as np
+import pytest
+
+from bwameme_tpu.index import packing
+
+
+def test_seq_code_roundtrip():
+    s = "ACGTACGTNNacgt"
+    c = packing.seq_to_code(s)
+    assert list(c) == [0, 1, 2, 3, 0, 1, 2, 3, 4, 4, 0, 1, 2, 3]
+    assert packing.code_to_seq(c) == "ACGTACGTNNACGT"
+
+
+@pytest.mark.parametrize("n", [0, 1, 3, 4, 5, 16, 17, 100])
+def test_pac_roundtrip(n):
+    rng = np.random.default_rng(n)
+    code = rng.integers(0, 4, n).astype(np.uint8)
+    pac = packing.pack_pac(code)
+    assert np.array_equal(packing.unpack_pac(pac, n), code)
+
+
+@pytest.mark.parametrize("n", [1, 15, 16, 17, 64, 100])
+def test_words_roundtrip(n):
+    rng = np.random.default_rng(n)
+    code = rng.integers(0, 4, n).astype(np.uint8)
+    w = packing.pack_words(code)
+    assert np.array_equal(packing.unpack_words(w, n), code)
+
+
+def test_words_lexicographic():
+    # word comparison == lexicographic comparison of the 16 bases
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        a = rng.integers(0, 4, 16).astype(np.uint8)
+        b = rng.integers(0, 4, 16).astype(np.uint8)
+        wa = packing.pack_words(a)[0]
+        wb = packing.pack_words(b)[0]
+        la = list(a)
+        lb = list(b)
+        assert (wa < wb) == (la < lb)
+        assert (wa == wb) == (la == lb)
+
+
+def test_extract_key64():
+    rng = np.random.default_rng(7)
+    code = rng.integers(0, 4, 100).astype(np.uint8)
+    pos = np.array([0, 1, 50, 80, 99])
+    keys = packing.extract_key64(code, pos)
+    for p, k in zip(pos, keys):
+        expect = 0
+        for i in range(32):
+            c = int(code[p + i]) if p + i < 100 else 3
+            expect = (expect << 2) | c
+        assert int(k) == expect
