@@ -1,0 +1,337 @@
+"""Scalar reference implementations of the Smith-Waterman kernels.
+
+These are the numerical contracts (bwa-mem 0.7.17 semantics) that the batched
+TPU kernels in ops/ must reproduce bit-for-bit:
+
+* ``sw_extend``  — seed extension with initial score h0, banding, z-dropoff
+  and adaptive begin/end pruning. Contract of BandedPairWiseSW::scalarBandedSWA
+  (reference: src/bandedSWA.cpp:116-238), itself bwa's ksw_extend2.
+* ``sw_global``  — banded global alignment producing a CIGAR. Contract of
+  ksw_global2 (reference: src/ksw.cpp), used for final CIGAR generation via
+  bwa_gen_cigar2 (reference: src/bwa.cpp).
+* ``sw_align``   — local alignment with XSTART semantics returning
+  {score, qb, qe, tb, te, score2, te2}. Contract of ksw_align2
+  (reference: src/ksw.cpp), used by mem_seed_sw chain-seed rescoring and
+  paired-end mate rescue (kswv batch analog).
+
+Implemented in plain numpy loops — correctness oracle and host fallback, not
+a performance path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ExtendResult:
+    score: int
+    qle: int
+    tle: int
+    gtle: int
+    gscore: int
+    max_off: int
+
+
+def sw_extend(
+    query: np.ndarray,
+    target: np.ndarray,
+    mat: np.ndarray,
+    o_del: int, e_del: int, o_ins: int, e_ins: int,
+    w: int, end_bonus: int, zdrop: int, h0: int,
+) -> ExtendResult:
+    qlen, tlen = len(query), len(target)
+    m = mat.shape[0]
+    oe_del, oe_ins = o_del + e_del, o_ins + e_ins
+
+    # query profile
+    qp = mat[:, query].astype(np.int64)  # [m, qlen]
+
+    eh_h = np.zeros(qlen + 1, dtype=np.int64)
+    eh_e = np.zeros(qlen + 1, dtype=np.int64)
+    eh_h[0] = h0
+    if qlen >= 1:
+        eh_h[1] = h0 - oe_ins if h0 > oe_ins else 0
+        j = 2
+        while j <= qlen and eh_h[j - 1] > e_ins:
+            eh_h[j] = eh_h[j - 1] - e_ins
+            j += 1
+
+    # band clamp from maximum possible gap lengths
+    mx = int(mat.max())
+    max_ins = int((qlen * mx + end_bonus - o_ins) / e_ins + 1.0)
+    max_ins = max(max_ins, 1)
+    w = min(w, max_ins)
+    max_del = int((qlen * mx + end_bonus - o_del) / e_del + 1.0)
+    max_del = max(max_del, 1)
+    w = min(w, max_del)
+
+    mx_sc = h0
+    max_i = max_j = -1
+    max_ie, gscore = -1, -1
+    max_off = 0
+    beg, end = 0, qlen
+    for i in range(tlen):
+        f = 0
+        mrow = 0
+        mj = -1
+        q = qp[target[i]]
+        if beg < i - w:
+            beg = i - w
+        if end > i + w + 1:
+            end = i + w + 1
+        if end > qlen:
+            end = qlen
+        if beg == 0:
+            h1 = h0 - (o_del + e_del * (i + 1))
+            if h1 < 0:
+                h1 = 0
+        else:
+            h1 = 0
+        for j in range(beg, end):
+            # eh_h[j] = H(i-1,j-1), eh_e[j] = E(i,j), f = F(i,j), h1 = H(i,j-1)
+            M = eh_h[j]
+            e = eh_e[j]
+            eh_h[j] = h1
+            M = M + q[j] if M else 0
+            h = M if M > e else e
+            h = h if h > f else f
+            h1 = h
+            if mrow <= h:
+                mrow = h
+                mj = j
+            t = M - oe_del
+            t = t if t > 0 else 0
+            e -= e_del
+            e = e if e > t else t
+            eh_e[j] = e
+            t = M - oe_ins
+            t = t if t > 0 else 0
+            f -= e_ins
+            f = f if f > t else t
+        eh_h[end] = h1
+        eh_e[end] = 0
+        if end == qlen:
+            if gscore <= h1:
+                max_ie = i
+                gscore = h1
+        if mrow == 0:
+            break
+        if mrow > mx_sc:
+            mx_sc, max_i, max_j = mrow, i, mj
+            off = abs(mj - i)
+            if off > max_off:
+                max_off = off
+        elif zdrop > 0:
+            if i - max_i > mj - max_j:
+                if mx_sc - mrow - ((i - max_i) - (mj - max_j)) * e_del > zdrop:
+                    break
+            else:
+                if mx_sc - mrow - ((mj - max_j) - (i - max_i)) * e_ins > zdrop:
+                    break
+        # adaptive pruning of the band (exact reference behavior)
+        j = beg
+        while j < end and eh_h[j] == 0 and eh_e[j] == 0:
+            j += 1
+        beg = j
+        j = end
+        while j >= beg and eh_h[j] == 0 and eh_e[j] == 0:
+            j -= 1
+        end = j + 2 if j + 2 < qlen else qlen
+
+    return ExtendResult(
+        score=int(mx_sc), qle=max_j + 1, tle=max_i + 1,
+        gtle=max_ie + 1, gscore=int(gscore), max_off=int(max_off),
+    )
+
+
+def sw_global(
+    query: np.ndarray,
+    target: np.ndarray,
+    mat: np.ndarray,
+    o_del: int, e_del: int, o_ins: int, e_ins: int,
+    w: int,
+) -> tuple[int, list[tuple[int, int]]]:
+    """Banded global alignment with CIGAR traceback (ksw_global2 semantics).
+
+    Returns (score, cigar) with cigar ops (op, len), op 0/1/2 = M/I/D
+    (I = insertion to the reference's query, consuming query bases).
+    """
+    qlen, tlen = len(query), len(target)
+    if qlen == 0 or tlen == 0:
+        return 0, []
+    NEG_INF = -0x40000000
+    oe_del, oe_ins = o_del + e_del, o_ins + e_ins
+    n_col = min(qlen, 2 * w + 1)
+
+    # score rows: h[j], e[j] over query positions within band
+    h = np.full(qlen + 1, NEG_INF, dtype=np.int64)
+    e = np.full(qlen + 1, NEG_INF, dtype=np.int64)
+    h[0] = 0
+    for j in range(1, min(qlen, w) + 1):
+        h[j] = -(o_ins + e_ins * j)
+        e[j] = NEG_INF
+    # direction matrix: 3 bits/cell packed per row (0=diag,1=del,2=ins for H;
+    # plus flags for E/F extension)
+    z = np.zeros((tlen, n_col), dtype=np.uint8)
+    for i in range(tlen):
+        f = NEG_INF
+        beg = max(0, i - w)
+        end = min(qlen, i + w + 1)
+        h1 = -(o_del + e_del * (i + 1)) if beg == 0 else NEG_INF
+        q = mat[target[i]]
+        zi = z[i]
+        for j in range(beg, end):
+            # h[j] = H(i-1, j-1); e[j] = E(i,j); f = F(i,j); h1 = H(i,j-1)
+            d = 0
+            M = h[j] + int(q[query[j]])
+            hh = M
+            if e[j] > hh:
+                hh = e[j]
+                d = 1
+            if f > hh:
+                hh = f
+                d = 2
+            h[j] = h1
+            h1 = hh
+            # E(i+1,j)
+            t = hh - oe_del
+            ee = e[j] - e_del
+            if ee > t:
+                d |= 0x08
+            else:
+                ee = t
+            e[j] = ee
+            # F(i,j+1)
+            t = hh - oe_ins
+            ff = f - e_ins
+            if ff > t:
+                d |= 0x10
+            else:
+                ff = t
+            f = ff
+            zi[j - beg] = d
+        h[end] = h1
+        e[end] = NEG_INF
+    score = int(h[qlen])
+
+    # traceback
+    cigar: list[tuple[int, int]] = []
+    i, j = tlen - 1, qlen - 1
+    which = 0
+    while i >= 0 and j >= 0:
+        beg = max(0, i - w)
+        d = int(z[i][j - beg])
+        if which == 0:
+            which = d & 3
+        if which == 0:
+            cigar.append((0, 1))  # M
+            i -= 1
+            j -= 1
+        elif which == 1:  # deletion (consumes target)
+            which = 1 if (d & 0x08) else 0
+            cigar.append((2, 1))
+            i -= 1
+        else:  # insertion (consumes query)
+            which = 2 if (d & 0x10) else 0
+            cigar.append((1, 1))
+            j -= 1
+        if which == 1 or which == 2:
+            pass
+    while i >= 0:
+        cigar.append((2, 1))
+        i -= 1
+    while j >= 0:
+        cigar.append((1, 1))
+        j -= 1
+    # run-length encode reversed
+    cigar.reverse()
+    out: list[tuple[int, int]] = []
+    for op, ln in cigar:
+        if out and out[-1][0] == op:
+            out[-1] = (op, out[-1][1] + ln)
+        else:
+            out.append((op, ln))
+    return score, out
+
+
+@dataclasses.dataclass
+class AlignResult:
+    score: int
+    te: int
+    qe: int
+    score2: int
+    te2: int
+    tb: int
+    qb: int
+
+
+def sw_align(
+    query: np.ndarray,
+    target: np.ndarray,
+    mat: np.ndarray,
+    o_del: int, e_del: int, o_ins: int, e_ins: int,
+    xtra_start: bool = True,
+) -> AlignResult:
+    """Local SW with best/2nd-best scores and, with xtra_start, the start
+    coordinates of the best alignment (ksw_align2 XSTART semantics).
+
+    score2/te2 track the best score outside a window of |te - x| > (len/2)
+    around the primary hit, matching kswv (reference: src/kswv.h:101-106).
+    """
+    qlen, tlen = len(query), len(target)
+    oe_del, oe_ins = o_del + e_del, o_ins + e_ins
+    h_prev = np.zeros(qlen + 1, dtype=np.int64)
+    e_col = np.zeros(qlen + 1, dtype=np.int64)
+    best, bte, bqe = 0, -1, -1
+    # second best per target row (simplified kswv low-res tracking)
+    row_best = np.zeros(tlen, dtype=np.int64)
+    for i in range(tlen):
+        f = 0
+        h_cur = np.zeros(qlen + 1, dtype=np.int64)
+        q = mat[target[i]]
+        for j in range(1, qlen + 1):
+            M = h_prev[j - 1] + int(q[query[j - 1]])
+            e = e_col[j]
+            h = max(M, e, f, 0)
+            h_cur[j] = h
+            e_col[j] = max(M - oe_del, e - e_del)
+            f = max(M - oe_ins, f - e_ins)
+            if h > best:
+                best, bte, bqe = h, i, j - 1
+        row_best[i] = h_cur.max()
+        h_prev = h_cur
+    # second best: best row-score at distance > min(qlen,tlen)/2... use qlen/2
+    # window like ksw's XSUBO low half
+    score2, te2 = 0, -1
+    half = len(query) // 2
+    for i in range(tlen):
+        if bte >= 0 and abs(i - bte) > half and row_best[i] > score2:
+            score2, te2 = int(row_best[i]), i
+    if best == 0 or not xtra_start:
+        return AlignResult(int(best), bte, bqe, score2, te2, -1, -1)
+    # find start by reverse alignment of the prefixes
+    rq = query[: bqe + 1][::-1]
+    rt = target[: bte + 1][::-1]
+    h_prev = np.zeros(len(rq) + 1, dtype=np.int64)
+    e_col = np.zeros(len(rq) + 1, dtype=np.int64)
+    gbest, gti, gqj = 0, -1, -1
+    for i in range(len(rt)):
+        f = 0
+        h_cur = np.zeros(len(rq) + 1, dtype=np.int64)
+        q = mat[rt[i]]
+        for j in range(1, len(rq) + 1):
+            M = h_prev[j - 1] + int(q[rq[j - 1]])
+            e = e_col[j]
+            h = max(M, e, f, 0)
+            h_cur[j] = h
+            e_col[j] = max(M - oe_del, e - e_del)
+            f = max(M - oe_ins, f - e_ins)
+            if h > gbest:
+                gbest, gti, gqj = h, i, j - 1
+        h_prev = h_cur
+    tb = bte - gti
+    qb = bqe - gqj
+    return AlignResult(int(best), bte, bqe, score2, te2, tb, qb)

@@ -1,0 +1,235 @@
+"""Batched banded Smith-Waterman seed extension for TPU.
+
+Bit-exact batched reimplementation of the scalarBandedSWA contract
+(reference: src/bandedSWA.cpp:116-238 = bwa's ksw_extend2), replacing the
+reference's AVX-512 lane-parallel kernels (smithWaterman512_8/16,
+src/bandedSWA.cpp:2263-3380) with a TPU-native formulation:
+
+* batch dimension in sublanes, query positions in lanes — each row of the DP
+  is one fused VPU sweep over (B, Q);
+* the in-row F (insertion) dependence is an associative "decaying prefix max"
+  — the reference semantics open gaps only off the match score M, so
+  F_{j+1} = max(F_j - e_ins, max(M_j - oe_ins, 0)) is a cummax after the
+  affine transform u_j = t_j + j*e_ins;
+* adaptive begin/end band pruning, z-dropoff, and row-zero termination are
+  carried as per-element masked state, preserving the reference's exact
+  (result-affecting) early-exit behavior;
+* everything is fixed-shape: pairs are bucketed to (Q, T) tiles by the
+  caller, mirroring the 8-bit/16-bit/scalar class split of the reference
+  (src/bwamem.cpp:2804-2812).
+
+The kernel returns {score, qle, tle, gtle, gscore, max_off} exactly as the
+scalar contract.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_BIG = jnp.int32(-(1 << 28))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("o_del", "e_del", "o_ins", "e_ins", "end_bonus", "zdrop"),
+)
+def banded_sw_extend_batch(
+    q_codes: jax.Array,   # (B, Q) int32 query codes 0..4
+    t_codes: jax.Array,   # (B, T) int32 target codes 0..4
+    qlen: jax.Array,      # (B,) int32
+    tlen: jax.Array,      # (B,) int32
+    h0: jax.Array,        # (B,) int32 initial score
+    ws: jax.Array,        # (B,) int32 band width per pair
+    mat: jax.Array,       # (5,5) int32 scoring matrix
+    o_del: int, e_del: int, o_ins: int, e_ins: int,
+    end_bonus: int, zdrop: int,
+):
+    B, Q = q_codes.shape
+    T = t_codes.shape[1]
+    W = Q + 2  # eh arrays are indexed 0..qlen (+1 guard)
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+
+    jj = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    qlen_c = qlen[:, None]
+
+    # ---- per-pair band clamp (reference: bandedSWA.cpp:149-157) ----
+    mx_sc = jnp.max(mat)
+    max_ins = ((qlen * mx_sc + end_bonus - o_ins).astype(jnp.float32) / e_ins + 1.0).astype(jnp.int32)
+    max_ins = jnp.maximum(max_ins, 1)
+    max_del = ((qlen * mx_sc + end_bonus - o_del).astype(jnp.float32) / e_del + 1.0).astype(jnp.int32)
+    max_del = jnp.maximum(max_del, 1)
+    w_eff = jnp.minimum(jnp.minimum(ws, max_ins), max_del)
+
+    # ---- first row init (reference: bandedSWA.cpp:143-147) ----
+    v = h0[:, None] - oe_ins - (jj - 1) * e_ins
+    ehh0 = jnp.where(jj == 0, h0[:, None], jnp.maximum(v, 0))
+    ehh0 = jnp.where(jj <= qlen_c, ehh0, 0).astype(jnp.int32)
+    ehe0 = jnp.zeros((B, W), jnp.int32)
+
+    # per-row score lookup: scores[b, j] = mat[t_codes[b,i], q_codes[b,j]]
+    # precompute mat rows gathered by query codes: prof[b, c, j] = mat[c, q[b,j]]
+    prof = mat[:, :][None, :, :]  # (1,5,5)
+    qp = jnp.take_along_axis(
+        jnp.broadcast_to(prof, (B, 5, 5)),
+        jnp.clip(q_codes, 0, 4)[:, None, :].astype(jnp.int32),
+        axis=2,
+    )  # (B, 5, Q)
+
+    state = dict(
+        ehh=ehh0, ehe=ehe0,
+        beg=jnp.zeros((B,), jnp.int32),
+        end=qlen.astype(jnp.int32),
+        mx=h0.astype(jnp.int32),
+        max_i=jnp.full((B,), -1, jnp.int32),
+        max_j=jnp.full((B,), -1, jnp.int32),
+        max_ie=jnp.full((B,), -1, jnp.int32),
+        gsc=jnp.full((B,), -1, jnp.int32),
+        max_off=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), jnp.bool_),
+    )
+
+    def row(i, st):
+        active = (~st["done"]) & (i < tlen)
+        beg_i = jnp.maximum(st["beg"], i - w_eff)
+        end_i = jnp.minimum(jnp.minimum(st["end"], i + w_eff + 1), qlen)
+        begc, endc = beg_i[:, None], end_i[:, None]
+        inband = (jj >= begc) & (jj < endc)
+
+        tci = jax.lax.dynamic_index_in_dim(
+            t_codes, jnp.minimum(i, T - 1), axis=1, keepdims=False
+        )
+        scores_q = jnp.take_along_axis(
+            qp, jnp.clip(tci, 0, 4)[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0, :]  # (B, Q)
+        scores = jnp.pad(scores_q, ((0, 0), (0, W - Q)))
+
+        ehh, ehe = st["ehh"], st["ehe"]
+        M = jnp.where(ehh != 0, ehh + scores, 0)
+        E = ehe
+        h_pre = jnp.maximum(M, E)
+
+        # F scan: f_beg = 0; f_{j+1} = max(f_j - e_ins, max(M_j - oe_ins, 0))
+        t_ins = jnp.maximum(M - oe_ins, 0)
+        u = jnp.where(inband, t_ins + jj * e_ins, NEG_BIG)
+        cm = jax.lax.cummax(u, axis=1)
+        cm_prev = jnp.concatenate(
+            [jnp.full((B, 1), NEG_BIG), cm[:, :-1]], axis=1
+        )
+        f = jnp.where(jj == begc, 0, cm_prev - (jj - 1) * e_ins)
+        f = jnp.maximum(f, 0)
+
+        H = jnp.where(inband, jnp.maximum(h_pre, f), 0)
+        e_next = jnp.maximum(E - e_del, jnp.maximum(M - oe_del, 0))
+
+        h1_init = jnp.where(
+            beg_i == 0, jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0), 0
+        ).astype(jnp.int32)
+
+        # row max and its last attaining column
+        mrow = jnp.max(H, axis=1)
+        is_max = inband & (H == mrow[:, None])
+        mj = jnp.max(jnp.where(is_max, jj, -1), axis=1)
+
+        # shifted state update
+        Hshift = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), H[:, :-1]], axis=1)
+        sel_mid = (jj >= begc + 1) & (jj <= endc)
+        ehh_new = jnp.where(sel_mid, Hshift, ehh)
+        ehh_new = jnp.where(jj == begc, h1_init[:, None], ehh_new)
+        ehe_new = jnp.where(inband, e_next, ehe)
+        ehe_new = jnp.where(jj == endc, 0, ehe_new)
+
+        # gscore: h1 after the loop = H(i, end-1)
+        h_end = jnp.where(
+            end_i > beg_i,
+            jnp.take_along_axis(H, jnp.maximum(end_i - 1, 0)[:, None], axis=1)[:, 0],
+            h1_init,
+        )
+        upd_g = active & (end_i == qlen) & (st["gsc"] <= h_end)
+        max_ie = jnp.where(upd_g, i, st["max_ie"])
+        gsc = jnp.where(upd_g, h_end, st["gsc"])
+
+        # termination + max update
+        break0 = mrow == 0
+        improved = mrow > st["mx"]
+        di = (i - st["max_i"]) - (mj - st["max_j"])
+        zval = jnp.where(
+            di > 0,
+            st["mx"] - mrow - di * e_del,
+            st["mx"] - mrow + di * e_ins,
+        )
+        breakz = (~improved) & (zdrop > 0) & (zval > zdrop)
+
+        upd_m = active & improved
+        off = jnp.abs(mj - i)
+        mx = jnp.where(upd_m, mrow, st["mx"])
+        max_i = jnp.where(upd_m, i, st["max_i"])
+        max_j = jnp.where(upd_m, mj, st["max_j"])
+        max_off = jnp.where(upd_m, jnp.maximum(st["max_off"], off), st["max_off"])
+
+        terminated = active & (break0 | breakz)
+        done = st["done"] | terminated | ((i + 1) >= tlen)
+
+        # band pruning on the new state (reference: bandedSWA.cpp:217-221)
+        nz = (ehh_new != 0) | (ehe_new != 0)
+        in_lo = (jj >= begc) & (jj < endc)
+        first_nz = jnp.min(jnp.where(in_lo & nz, jj, jnp.int32(1 << 28)), axis=1)
+        beg_new = jnp.minimum(first_nz, end_i)
+        in_hi = (jj >= beg_new[:, None]) & (jj <= endc)
+        last_nz = jnp.max(jnp.where(in_hi & nz, jj, beg_new[:, None] - 1), axis=1)
+        end_new = jnp.minimum(last_nz + 2, qlen)
+
+        keep = active & (~terminated)
+        sel = keep[:, None]
+        return dict(
+            ehh=jnp.where(sel, ehh_new, ehh),
+            ehe=jnp.where(sel, ehe_new, ehe),
+            beg=jnp.where(keep, beg_new, st["beg"]),
+            end=jnp.where(keep, end_new, st["end"]),
+            mx=jnp.where(active, mx, st["mx"]),
+            max_i=jnp.where(active, max_i, st["max_i"]),
+            max_j=jnp.where(active, max_j, st["max_j"]),
+            max_ie=max_ie, gsc=gsc,
+            max_off=jnp.where(active, max_off, st["max_off"]),
+            done=done,
+        )
+
+    st = jax.lax.fori_loop(0, T, row, state)
+    return dict(
+        score=st["mx"], qle=st["max_j"] + 1, tle=st["max_i"] + 1,
+        gtle=st["max_ie"] + 1, gscore=st["gsc"], max_off=st["max_off"],
+    )
+
+
+def extend_pairs_np(pairs, mat, o_del, e_del, o_ins, e_ins, end_bonus, zdrop,
+                    q_tile=128, t_tile=256):
+    """Convenience host wrapper: run a list of (query, target, h0, w) pairs
+    through the batched kernel with padding, returning numpy dicts."""
+    B = len(pairs)
+    if B == 0:
+        return []
+    Q = max(max(len(p[0]) for p in pairs), 1)
+    T = max(max(len(p[1]) for p in pairs), 1)
+    q = np.full((B, Q), 0, dtype=np.int32)
+    t = np.full((B, T), 0, dtype=np.int32)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    h0 = np.zeros(B, np.int32)
+    ws = np.zeros(B, np.int32)
+    for b, (qq, tt, hh, w) in enumerate(pairs):
+        q[b, : len(qq)] = qq
+        t[b, : len(tt)] = tt
+        qlen[b], tlen[b], h0[b], ws[b] = len(qq), len(tt), hh, w
+    out = banded_sw_extend_batch(
+        jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen), jnp.asarray(tlen),
+        jnp.asarray(h0), jnp.asarray(ws), jnp.asarray(mat.astype(np.int32)),
+        o_del, e_del, o_ins, e_ins, end_bonus, zdrop,
+    )
+    out = {k: np.asarray(v) for k, v in out.items()}
+    return [
+        {k: int(out[k][b]) for k in out} for b in range(B)
+    ]

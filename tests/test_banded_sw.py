@@ -1,0 +1,93 @@
+"""Differential tests: batched TPU banded-SW kernel vs the scalar contract
+(scalarBandedSWA semantics, reference: src/bandedSWA.cpp:116-238)."""
+
+import numpy as np
+import pytest
+
+from bwameme_tpu.align.sw_scalar import sw_extend
+from bwameme_tpu.ops.banded_sw import extend_pairs_np
+from bwameme_tpu.utils.config import MemOptions
+
+OPT = MemOptions()
+
+
+def rand_pair(rng, qmax=100, tmax=120, mutate=0.08, indel=0.02):
+    """Make a realistic extension pair: target is a mutated copy of query."""
+    qlen = int(rng.integers(10, qmax))
+    q = rng.integers(0, 4, qlen).astype(np.int32)
+    t = []
+    for c in q:
+        r = rng.random()
+        if r < indel / 2:
+            continue  # deletion
+        if r < indel:
+            t.append(int(rng.integers(0, 4)))  # insertion
+        if rng.random() < mutate:
+            t.append(int((c + rng.integers(1, 4)) % 4))
+        else:
+            t.append(int(c))
+    t = np.array(t + [int(x) for x in rng.integers(0, 4, int(rng.integers(0, 20)))], dtype=np.int32)
+    if len(t) == 0:
+        t = rng.integers(0, 4, 5).astype(np.int32)
+    h0 = int(rng.integers(1, 60))
+    w = int(rng.choice([5, 20, 100]))
+    return q, t[:tmax], h0, w
+
+
+def check_batch(pairs):
+    got = extend_pairs_np(
+        pairs, OPT.mat, OPT.o_del, OPT.e_del, OPT.o_ins, OPT.e_ins,
+        end_bonus=5, zdrop=OPT.zdrop,
+    )
+    for (q, t, h0, w), g in zip(pairs, got):
+        ref = sw_extend(q, t, OPT.mat, OPT.o_del, OPT.e_del, OPT.o_ins,
+                        OPT.e_ins, w, 5, OPT.zdrop, h0)
+        assert g["score"] == ref.score, (g, ref, q.tolist(), t.tolist(), h0, w)
+        assert g["qle"] == ref.qle, (g, ref)
+        assert g["tle"] == ref.tle, (g, ref)
+        assert g["gtle"] == ref.gtle, (g, ref)
+        assert g["gscore"] == ref.gscore, (g, ref)
+        assert g["max_off"] == ref.max_off, (g, ref)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_realistic_pairs(seed):
+    rng = np.random.default_rng(seed)
+    pairs = [rand_pair(rng) for _ in range(40)]
+    check_batch(pairs)
+
+
+def test_pure_random_pairs():
+    # fully random target: exercises z-drop and early-zero termination
+    rng = np.random.default_rng(10)
+    pairs = []
+    for _ in range(40):
+        q = rng.integers(0, 4, int(rng.integers(5, 80))).astype(np.int32)
+        t = rng.integers(0, 4, int(rng.integers(5, 100))).astype(np.int32)
+        pairs.append((q, t, int(rng.integers(1, 40)), int(rng.choice([3, 10, 100]))))
+    check_batch(pairs)
+
+
+def test_exact_match_pair():
+    rng = np.random.default_rng(11)
+    q = rng.integers(0, 4, 60).astype(np.int32)
+    pairs = [(q, q.copy(), 25, 100)]
+    got = extend_pairs_np(pairs, OPT.mat, 6, 1, 6, 1, 5, 100)[0]
+    # perfect extension: score = h0 + qlen * a, reaches both ends
+    assert got["score"] == 25 + 60
+    assert got["qle"] == 60 and got["tle"] == 60
+    assert got["gscore"] == 25 + 60
+
+
+def test_tiny_h0_zero_row():
+    # h0 small + mismatching target: row max hits 0 -> early break
+    q = np.zeros(30, np.int32)          # AAAA...
+    t = np.full(40, 3, np.int32)        # TTTT...
+    check_batch([(q, t, 1, 100), (q, t, 5, 100)])
+
+
+def test_narrow_band():
+    rng = np.random.default_rng(12)
+    q = rng.integers(0, 4, 70).astype(np.int32)
+    t = np.concatenate([q[:30], q[25:]]).astype(np.int32)  # 5bp duplication
+    check_batch([(q, t, 19, 2), (q, t, 19, 1), (q, t, 19, 0)])
