@@ -1,0 +1,283 @@
+"""Seed chaining and chain filtering.
+
+Replicates the reference's B-tree insertion chaining and filters:
+* mem_chain_Learned (reference: src/bwamem.cpp:1122-1228): SMEMs in
+  (start,end)-sorted order, hits subsampled by stride to max_occ, each hit
+  merged into the chain with the largest anchor pos <= rbeg via
+  test_and_merge (src/bwamem.cpp:450-492), else a new chain; output in
+  ascending anchor order (B-tree traversal).
+* mem_chain_flt (src/bwamem.cpp:599-718): weight computation, overlap-based
+  kept/shadow marking.
+* mem_flt_chained_seeds (src/bwamem.cpp:565-597) with mem_seed_sw
+  (src/bwamem.cpp:494-521): SW re-scoring of seeds in long chains.
+
+Host implementation (python) — per-read work is tiny (tens of seeds); the
+batched device path feeds these directly from the seeding engine's output.
+"""
+
+from __future__ import annotations
+
+import bisect
+import dataclasses
+import math
+
+import numpy as np
+
+from bwameme_tpu.align.sw_scalar import sw_align
+from bwameme_tpu.seeding.host_engine import Smem
+
+MEM_SHORT_EXT = 50
+MEM_SHORT_LEN = 200
+MEM_HSP_COEF = 1.1
+MEM_MINSC_COEF = 5.5
+MEM_SEEDSW_COEF = 0.05
+
+
+@dataclasses.dataclass
+class Seed:
+    rbeg: int
+    qbeg: int
+    len: int
+    score: int
+    aln: int = -1
+
+
+@dataclasses.dataclass
+class Chain:
+    pos: int
+    seeds: list[Seed]
+    rid: int
+    is_alt: bool = False
+    w: int = 0
+    kept: int = 0
+    first: int = -1
+    frac_rep: float = 0.0
+
+
+def cal_max_gap(opt, qlen: int) -> int:
+    l_del = int((qlen * opt.a - opt.o_del) / opt.e_del + 1.0)
+    l_ins = int((qlen * opt.a - opt.o_ins) / opt.e_ins + 1.0)
+    l = max(l_del, l_ins, 1)
+    return min(l, opt.w << 1)
+
+
+def test_and_merge(opt, l_pac: int, c: Chain, s: Seed, seed_rid: int) -> bool:
+    """reference: src/bwamem.cpp:450-492."""
+    last = c.seeds[-1]
+    qend = last.qbeg + last.len
+    rend = last.rbeg + last.len
+    if seed_rid != c.rid:
+        return False
+    if (
+        s.qbeg >= c.seeds[0].qbeg and s.qbeg + s.len <= qend
+        and s.rbeg >= c.seeds[0].rbeg and s.rbeg + s.len <= rend
+    ):
+        return True  # contained seed; do nothing
+    if (last.rbeg < l_pac or c.seeds[0].rbeg < l_pac) and s.rbeg >= l_pac:
+        return False  # different strand
+    x = s.qbeg - last.qbeg
+    y = s.rbeg - last.rbeg
+    if (
+        y >= 0 and x - y <= opt.w and y - x <= opt.w
+        and x - last.len < opt.max_chain_gap and y - last.len < opt.max_chain_gap
+    ):
+        c.seeds.append(s)
+        return True
+    return False
+
+
+def chain_seeds(opt, bns, l_query: int, smems: list[Smem], sa: np.ndarray) -> list[Chain]:
+    """SMEMs (sorted by (start,end)) -> chains, reference order semantics."""
+    if l_query < opt.min_seed_len:
+        return []
+    l_pac = bns.l_pac
+    # frac_rep (reference: src/bwamem.cpp:1143-1151)
+    l_rep = 0
+    b = e = 0
+    for p in smems:
+        if p.hitcount <= opt.max_occ:
+            continue
+        sb, se = p.start, p.end
+        if sb > e:
+            l_rep += e - b
+            b, e = sb, se
+        else:
+            e = max(e, se)
+    l_rep += e - b
+
+    chains: list[Chain] = []   # kept sorted by pos
+    keys: list[int] = []
+    for p in smems:
+        slen = p.end - p.start
+        step = p.hitcount // opt.max_occ if p.hitcount > opt.max_occ else 1
+        count = 0
+        k = 0
+        while k < p.hitcount and count < opt.max_occ:
+            rbeg = int(sa[p.sa_lo + k])
+            s = Seed(rbeg=rbeg, qbeg=p.start, len=slen, score=slen)
+            rid = bns.intv2rid(rbeg, rbeg + slen)
+            if rid >= 0:
+                to_add = True
+                if chains:
+                    i = bisect.bisect_right(keys, rbeg) - 1
+                    if i >= 0 and test_and_merge(opt, l_pac, chains[i], s, rid):
+                        to_add = False
+                if to_add:
+                    c = Chain(pos=rbeg, seeds=[s], rid=rid,
+                              is_alt=bool(getattr(bns.contigs[rid], "is_alt", False)))
+                    j = bisect.bisect_right(keys, rbeg)
+                    chains.insert(j, c)
+                    keys.insert(j, rbeg)
+            k += step
+            count += 1
+    for c in chains:
+        c.frac_rep = l_rep / l_query
+    return chains
+
+
+def chain_weight(c: Chain) -> int:
+    """reference: src/bwamem.cpp:523-541."""
+    w = 0
+    end = 0
+    for s in c.seeds:
+        if s.qbeg >= end:
+            w += s.len
+        elif s.qbeg + s.len > end:
+            w += s.qbeg + s.len - end
+        end = max(end, s.qbeg + s.len)
+    tmp = w
+    w = 0
+    end = 0
+    for s in c.seeds:
+        if s.rbeg >= end:
+            w += s.len
+        elif s.rbeg + s.len > end:
+            w += s.rbeg + s.len - end
+        end = max(end, s.rbeg + s.len)
+    return min(w, tmp)
+
+
+def chn_beg(c: Chain) -> int:
+    return c.seeds[0].qbeg
+
+
+def chn_end(c: Chain) -> int:
+    s = c.seeds[-1]
+    return s.qbeg + s.len
+
+
+def filter_chains(opt, chains: list[Chain]) -> list[Chain]:
+    """mem_chain_flt for a single read (reference: src/bwamem.cpp:599-718)."""
+    if not chains:
+        return []
+    a = []
+    for c in chains:
+        c.first = -1
+        c.kept = 0
+        c.w = chain_weight(c)
+        if c.w >= opt.min_chain_weight:
+            a.append(c)
+    if not a:
+        return []
+    # sort by weight descending (ks_introsort(mem_flt): (a).w > (b).w)
+    a.sort(key=lambda c: -c.w)
+    kept_idx = [0]
+    a[0].kept = 3
+    for i in range(1, len(a)):
+        large_ovlp = False
+        stop = False
+        for j in kept_idx:
+            b_max = max(chn_beg(a[j]), chn_beg(a[i]))
+            e_min = min(chn_end(a[j]), chn_end(a[i]))
+            if e_min > b_max and (not a[j].is_alt or a[i].is_alt):
+                li = chn_end(a[i]) - chn_beg(a[i])
+                lj = chn_end(a[j]) - chn_beg(a[j])
+                min_l = min(li, lj)
+                if e_min - b_max >= min_l * opt.mask_level and min_l < opt.max_chain_gap:
+                    large_ovlp = True
+                    if a[j].first < 0:
+                        a[j].first = i
+                    if (a[i].w < a[j].w * opt.drop_ratio
+                            and a[j].w - a[i].w >= opt.min_seed_len << 1):
+                        stop = True
+                        break
+        if not stop:
+            kept_idx.append(i)
+            a[i].kept = 2 if large_ovlp else 3
+    for j in kept_idx:
+        if a[j].first >= 0:
+            a[a[j].first].kept = 1
+    # cap on extended shadowed chains
+    k = 0
+    cut = len(a)
+    for i, c in enumerate(a):
+        if c.kept in (0, 3):
+            continue
+        k += 1
+        if k >= opt.max_chain_extend:
+            cut = i
+            break
+    for i in range(cut, len(a)):
+        if a[i].kept < 3:
+            a[i].kept = 0
+    return [c for c in a if c.kept != 0]
+
+
+def clamp_to_contig(bns, beg: int, mid: int, end: int) -> tuple[int, int, int]:
+    """Clamp [beg,end) to the contig containing mid, on mid's strand
+    (reference: src/bntseq.cpp bns_fetch_seq/bns_fetch_seq_v2)."""
+    pos_f, is_rev = bns.depos(mid)
+    rid = bns.pos2rid(pos_f)
+    far_beg = bns.contigs[rid].offset
+    far_end = far_beg + bns.contigs[rid].length
+    if is_rev:
+        far_beg, far_end = (
+            (bns.l_pac << 1) - far_end,
+            (bns.l_pac << 1) - far_beg,
+        )
+    return max(beg, far_beg), min(end, far_end), rid
+
+
+def mem_seed_sw(opt, bns, text: np.ndarray, l_query: int, query: np.ndarray, s: Seed) -> int:
+    """SW around a seed to re-score it (reference: src/bwamem.cpp:494-521)."""
+    if s.len >= MEM_SHORT_LEN:
+        return -1
+    l_pac = bns.l_pac
+    qb, qe = s.qbeg, s.qbeg + s.len
+    rb, re = s.rbeg, s.rbeg + s.len
+    mid = (rb + re) >> 1
+    qb = max(qb - MEM_SHORT_EXT, 0)
+    qe = min(qe + MEM_SHORT_EXT, l_query)
+    rb = max(rb - MEM_SHORT_EXT, 0)
+    re = min(re + MEM_SHORT_EXT, l_pac << 1)
+    if rb < l_pac < re:
+        if mid < l_pac:
+            re = l_pac
+        else:
+            rb = l_pac
+    if qe - qb >= MEM_SHORT_LEN or re - rb >= MEM_SHORT_LEN:
+        return -1
+    rb, re, _ = clamp_to_contig(bns, rb, mid, re)
+    rseq = text[rb:re]
+    res = sw_align(query[qb:qe], rseq, opt.mat, opt.o_del, opt.e_del,
+                   opt.o_ins, opt.e_ins, xtra_start=False)
+    return res.score
+
+
+def filter_chained_seeds(opt, bns, text: np.ndarray, query: np.ndarray,
+                         l_query: int, chains: list[Chain]) -> None:
+    """mem_flt_chained_seeds (reference: src/bwamem.cpp:565-597)."""
+    for c in chains:
+        min_l = (MEM_HSP_COEF * opt.min_chain_weight
+                 if opt.min_chain_weight else MEM_MINSC_COEF * math.log(l_query))
+        min_hsp_score = int(opt.a * min_l + 0.499)
+        if min_l > MEM_SEEDSW_COEF * l_query:
+            continue
+        kept = []
+        for s in c.seeds:
+            s.score = mem_seed_sw(opt, bns, text, l_query, query, s)
+            if s.score < 0 or s.score >= min_hsp_score:
+                if s.score < 0:
+                    s.score = s.len * opt.a
+                kept.append(s)
+        c.seeds = kept

@@ -1,0 +1,289 @@
+"""Chain -> alignment-region extension via the batched banded-SW kernel.
+
+Replicates mem_chain2aln_across_reads_V2 (reference: src/bwamem.cpp:2573-3489):
+per kept chain, compute the reference window (rmax), build left (reversed) and
+right extension pairs for every seed in descending score order, run them
+through the batched TPU banded-SW kernel with the MAX_BAND_TRY=2 band-doubling
+retry rule, fold scores into mem_alnreg fields (gscore/clip decision,
+truesc accounting, seedcov), then apply the post-hoc contained-seed purge
+(src/bwamem.cpp:3390-3489).
+
+The SW work from all reads of a batch is flattened into one kernel invocation
+per (band-try) round — the TPU analog of the reference's SIMD-lane batching
+(sortPairsLenExt + 8/16-bit class split, src/bwamem.cpp:2804-2812).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from bwameme_tpu.align.chain import Chain, Seed, cal_max_gap, clamp_to_contig
+from bwameme_tpu.ops.banded_sw import banded_sw_extend_batch
+
+MAX_BAND_TRY = 2
+H0_SENTINEL = -99  # reference: src/macro.h:44 H0_
+
+
+@dataclasses.dataclass
+class AlnReg:
+    rb: int = H0_SENTINEL
+    re: int = H0_SENTINEL
+    qb: int = H0_SENTINEL
+    qe: int = H0_SENTINEL
+    rid: int = -1
+    score: int = -1
+    truesc: int = -1
+    sub: int = 0
+    csub: int = 0
+    sub_n: int = 0
+    alt_sc: int = 0
+    w: int = 0
+    seedcov: int = 0
+    secondary: int = -1
+    secondary_all: int = -1
+    hash: int = 0
+    frac_rep: float = 0.0
+    is_alt: bool = False
+    seedlen0: int = 0
+    n_comp: int = 1
+    chain: Chain | None = None
+
+
+def _seedcov(a: AlnReg) -> int:
+    cov = 0
+    for t in a.chain.seeds:
+        if (t.qbeg >= a.qb and t.qbeg + t.len <= a.qe
+                and t.rbeg >= a.rb and t.rbeg + t.len <= a.re):
+            cov += t.len
+    return cov
+
+
+@dataclasses.dataclass
+class _Pair:
+    query: np.ndarray
+    ref: np.ndarray
+    h0: int
+    read_i: int
+    reg_i: int
+
+
+def _run_round(pairs: list[_Pair], opt, w: int, end_bonus: int):
+    """Run one band-try round through the batched kernel."""
+    if not pairs:
+        return []
+    B = len(pairs)
+    Q = max(1, max(len(p.query) for p in pairs))
+    T = max(1, max(len(p.ref) for p in pairs))
+    # pad to fixed buckets to limit recompilation
+    def bucket(x):
+        for b in (64, 128, 256, 512, 1024, 2048):
+            if x <= b:
+                return b
+        return x
+    Q, T = bucket(Q), bucket(T)
+    Bb = ((B + 63) // 64) * 64
+    q = np.zeros((Bb, Q), np.int32)
+    t = np.zeros((Bb, T), np.int32)
+    qlen = np.zeros(Bb, np.int32)
+    tlen = np.zeros(Bb, np.int32)
+    h0 = np.ones(Bb, np.int32)
+    for b, p in enumerate(pairs):
+        q[b, : len(p.query)] = p.query
+        t[b, : len(p.ref)] = p.ref
+        qlen[b], tlen[b], h0[b] = len(p.query), len(p.ref), p.h0
+    ws = np.full(Bb, w, np.int32)
+    out = banded_sw_extend_batch(
+        q, t, qlen, tlen, h0, ws, opt.mat.astype(np.int32),
+        opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, end_bonus, opt.zdrop,
+    )
+    out = {k: np.asarray(v) for k, v in out.items()}
+    return [{k: int(out[k][b]) for k in out} for b in range(B)]
+
+
+def extend_chains_batch(opt, bns, text: np.ndarray, queries: list[np.ndarray],
+                        chains_per_read: list[list[Chain]]) -> list[list[AlnReg]]:
+    """Extension for a batch of reads. Returns alnregs per read (pre-dedup)."""
+    l_pac = bns.l_pac
+    regs_per_read: list[list[AlnReg]] = [[] for _ in queries]
+    left_pairs: list[_Pair] = []
+    right_pairs: list[_Pair] = []
+    rseqs = {}
+    srt_per_chain: dict[tuple[int, int], list[int]] = {}
+
+    for li, (query, chains) in enumerate(zip(queries, chains_per_read)):
+        l_query = len(query)
+        av = regs_per_read[li]
+        for cj, c in enumerate(chains):
+            if not c.seeds:
+                continue
+            # reference window (reference: src/bwamem.cpp:2649-2680)
+            rmax0, rmax1 = l_pac << 1, 0
+            for t in c.seeds:
+                b = t.rbeg - (t.qbeg + cal_max_gap(opt, t.qbeg))
+                e = t.rbeg + t.len + (
+                    (l_query - t.qbeg - t.len)
+                    + cal_max_gap(opt, l_query - t.qbeg - t.len)
+                )
+                rmax0 = min(rmax0, b)
+                rmax1 = max(rmax1, e)
+            rmax0 = max(rmax0, 0)
+            rmax1 = min(rmax1, l_pac << 1)
+            if rmax0 < l_pac < rmax1:
+                if c.seeds[0].rbeg < l_pac:
+                    rmax1 = l_pac
+                else:
+                    rmax0 = l_pac
+            rmax0, rmax1, rid = clamp_to_contig(bns, rmax0, c.seeds[0].rbeg, rmax1)
+            assert rid == c.rid
+            rseq = text[rmax0:rmax1]
+            rseqs[(li, cj)] = (rmax0, rmax1)
+
+            # seeds in ascending (score, index); process descending
+            srt = sorted(range(len(c.seeds)),
+                         key=lambda i: (c.seeds[i].score, i))
+            srt_per_chain[(li, cj)] = srt
+            for k in range(len(c.seeds) - 1, -1, -1):
+                s = c.seeds[srt[k]]
+                a = AlnReg()
+                av.append(a)
+                s.aln = len(av) - 1
+                a.w = opt.w
+                a.rid = c.rid
+                a.frac_rep = c.frac_rep
+                a.seedlen0 = s.len
+                a.chain = c
+                if s.qbeg:  # left extension pair
+                    qs = query[: s.qbeg][::-1].astype(np.int32)
+                    tmp = s.rbeg - rmax0
+                    rs = rseq[:tmp][::-1].astype(np.int32)
+                    left_pairs.append(
+                        _Pair(qs, rs, s.len * opt.a, li, s.aln)
+                    )
+                    a.qb, a.rb = s.qbeg, s.rbeg
+                else:
+                    a.score = a.truesc = s.len * opt.a
+                    a.qb, a.rb = 0, s.rbeg
+                if s.qbeg + s.len != l_query:  # right extension pair
+                    qe = s.qbeg + s.len
+                    re = s.rbeg + s.len - rmax0
+                    qs = query[qe:].astype(np.int32)
+                    rs = rseq[re:].astype(np.int32)
+                    right_pairs.append(_Pair(qs, rs, 0, li, s.aln))
+                    a.qe, a.re = qe, rmax0 + re
+                else:
+                    a.qe, a.re = l_query, s.rbeg + s.len
+                    if a.rb != H0_SENTINEL and a.qb != H0_SENTINEL:
+                        a.seedcov = _seedcov(a)
+
+    # ---- left SW with band doubling (reference: src/bwamem.cpp:3040-3160) ----
+    def run_side(pairs: list[_Pair], is_left: bool):
+        end_bonus = opt.pen_clip5 if is_left else opt.pen_clip3
+        pending = pairs
+        for i in range(MAX_BAND_TRY):
+            w = opt.w << i
+            results = _run_round(pending, opt, w, end_bonus)
+            nxt = []
+            for p, r in zip(pending, results):
+                a = regs_per_read[p.read_i][p.reg_i]
+                prev = a.score
+                a.score = r["score"]
+                if (a.score == prev or r["max_off"] < (w >> 1) + (w >> 2)
+                        or i + 1 == MAX_BAND_TRY):
+                    if is_left:
+                        if r["gscore"] <= 0 or r["gscore"] <= a.score - opt.pen_clip5:
+                            a.qb -= r["qle"]
+                            a.rb -= r["tle"]
+                            a.truesc = a.score
+                        else:
+                            a.qb = 0
+                            a.rb -= r["gtle"]
+                            a.truesc = r["gscore"]
+                    else:
+                        if r["gscore"] <= 0 or r["gscore"] <= a.score - opt.pen_clip3:
+                            a.qe += r["qle"]
+                            a.re += r["tle"]
+                            a.truesc += a.score - p.h0
+                        else:
+                            a.qe = len(queries[p.read_i])
+                            a.re += r["gtle"]
+                            a.truesc += r["gscore"] - p.h0
+                    a.w = max(a.w, w)
+                    if (a.rb != H0_SENTINEL and a.qb != H0_SENTINEL
+                            and a.qe != H0_SENTINEL and a.re != H0_SENTINEL):
+                        a.seedcov = _seedcov(a)
+                else:
+                    nxt.append(p)
+            pending = nxt
+
+    run_side(left_pairs, True)
+    # right h0 = score after left extension (reference: src/bwamem.cpp:3168-3173)
+    for p in right_pairs:
+        p.h0 = regs_per_read[p.read_i][p.reg_i].score
+    run_side(right_pairs, False)
+
+    # ---- contained-seed purge (reference: src/bwamem.cpp:3390-3489) ----
+    for li, (query, chains) in enumerate(zip(queries, chains_per_read)):
+        l_query = len(query)
+        av = regs_per_read[li]
+        lim = 0
+        for cj, c in enumerate(chains):
+            if not c.seeds:
+                continue
+            srt = srt_per_chain[(li, cj)]
+            purged = [False] * len(c.seeds)
+            for k in range(len(c.seeds) - 1, -1, -1):
+                s = c.seeds[srt[k]]
+                v = 0
+                found = False
+                for p in av:
+                    if v >= lim:
+                        break
+                    if p.qb == -1 and p.qe == -1:
+                        continue
+                    if (s.rbeg < p.rb or s.rbeg + s.len > p.re
+                            or s.qbeg < p.qb or s.qbeg + s.len > p.qe):
+                        v += 1
+                        continue
+                    if s.len - p.seedlen0 > 0.1 * l_query:
+                        v += 1
+                        continue
+                    qd = s.qbeg - p.qb
+                    rd = s.rbeg - p.rb
+                    max_gap = cal_max_gap(opt, min(qd, rd))
+                    ww = min(max_gap, p.w)
+                    if qd - rd < ww and rd - qd < ww:
+                        found = True
+                        break
+                    qd = p.qe - (s.qbeg + s.len)
+                    rd = p.re - (s.rbeg + s.len)
+                    max_gap = cal_max_gap(opt, min(qd, rd))
+                    ww = min(max_gap, p.w)
+                    if qd - rd < ww and rd - qd < ww:
+                        found = True
+                        break
+                    v += 1
+                if found:
+                    ok = True
+                    for v2 in range(k + 1, len(c.seeds)):
+                        if purged[v2]:
+                            continue
+                        t = c.seeds[srt[v2]]
+                        if t.len < s.len * 0.95:
+                            continue
+                        if (s.qbeg <= t.qbeg and s.qbeg + s.len - t.qbeg >= s.len >> 2
+                                and t.qbeg - s.qbeg != t.rbeg - s.rbeg):
+                            ok = False
+                            break
+                        if (t.qbeg <= s.qbeg and t.qbeg + t.len - s.qbeg >= s.len >> 2
+                                and s.qbeg - t.qbeg != s.rbeg - t.rbeg):
+                            ok = False
+                            break
+                    if ok:
+                        ar = av[s.aln]
+                        ar.qb = ar.qe = -1
+                        purged[k] = True
+                        continue
+                lim += 1
+    return regs_per_read

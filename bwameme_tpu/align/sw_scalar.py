@@ -166,15 +166,14 @@ def sw_global(
     oe_del, oe_ins = o_del + e_del, o_ins + e_ins
     n_col = min(qlen, 2 * w + 1)
 
-    # score rows: h[j], e[j] over query positions within band
-    h = np.full(qlen + 1, NEG_INF, dtype=np.int64)
-    e = np.full(qlen + 1, NEG_INF, dtype=np.int64)
-    h[0] = 0
+    # eh layout as in the reference: eh_h[j] = H(i-1,j-1), eh_e[j] = E(i,j)
+    eh_h = np.full(qlen + 1, NEG_INF, dtype=np.int64)
+    eh_e = np.full(qlen + 1, NEG_INF, dtype=np.int64)
+    eh_h[0] = 0
     for j in range(1, min(qlen, w) + 1):
-        h[j] = -(o_ins + e_ins * j)
-        e[j] = NEG_INF
-    # direction matrix: 3 bits/cell packed per row (0=diag,1=del,2=ins for H;
-    # plus flags for E/F extension)
+        eh_h[j] = -(o_ins + e_ins * j)
+    # direction matrix: bits0-1 = H source (0 diag / 1 E / 2 F),
+    # bit2 = E extended, bit5 = F extended (d |= 2<<4)
     z = np.zeros((tlen, n_col), dtype=np.uint8)
     for i in range(tlen):
         f = NEG_INF
@@ -184,77 +183,66 @@ def sw_global(
         q = mat[target[i]]
         zi = z[i]
         for j in range(beg, end):
-            # h[j] = H(i-1, j-1); e[j] = E(i,j); f = F(i,j); h1 = H(i,j-1)
-            d = 0
-            M = h[j] + int(q[query[j]])
-            hh = M
-            if e[j] > hh:
-                hh = e[j]
-                d = 1
-            if f > hh:
-                hh = f
+            # eh_h[j] = H(i-1,j-1), eh_e[j] = E(i,j), f = F(i,j), h1 = H(i,j-1)
+            m = int(eh_h[j])
+            e = int(eh_e[j])
+            eh_h[j] = h1
+            m += int(q[query[j]])
+            d = 0 if m >= e else 1
+            h = m if m >= e else e
+            if h < f:
                 d = 2
-            h[j] = h1
-            h1 = hh
-            # E(i+1,j)
-            t = hh - oe_del
-            ee = e[j] - e_del
-            if ee > t:
-                d |= 0x08
+                h = f
+            h1 = h
+            t = m - oe_del
+            e -= e_del
+            if e > t:
+                d |= 1 << 2
             else:
-                ee = t
-            e[j] = ee
-            # F(i,j+1)
-            t = hh - oe_ins
-            ff = f - e_ins
-            if ff > t:
-                d |= 0x10
+                e = t
+            eh_e[j] = e
+            t = m - oe_ins
+            f -= e_ins
+            if f > t:
+                d |= 2 << 4
             else:
-                ff = t
-            f = ff
+                f = t
             zi[j - beg] = d
-        h[end] = h1
-        e[end] = NEG_INF
-    score = int(h[qlen])
+        eh_h[end] = h1
+        eh_e[end] = NEG_INF
+    score = int(eh_h[qlen])
 
-    # traceback
+    # backtrack (reference state machine: which = z >> (which<<1) & 3)
     cigar: list[tuple[int, int]] = []
-    i, j = tlen - 1, qlen - 1
-    which = 0
-    while i >= 0 and j >= 0:
-        beg = max(0, i - w)
-        d = int(z[i][j - beg])
-        if which == 0:
-            which = d & 3
-        if which == 0:
-            cigar.append((0, 1))  # M
-            i -= 1
-            j -= 1
-        elif which == 1:  # deletion (consumes target)
-            which = 1 if (d & 0x08) else 0
-            cigar.append((2, 1))
-            i -= 1
-        else:  # insertion (consumes query)
-            which = 2 if (d & 0x10) else 0
-            cigar.append((1, 1))
-            j -= 1
-        if which == 1 or which == 2:
-            pass
-    while i >= 0:
-        cigar.append((2, 1))
-        i -= 1
-    while j >= 0:
-        cigar.append((1, 1))
-        j -= 1
-    # run-length encode reversed
-    cigar.reverse()
-    out: list[tuple[int, int]] = []
-    for op, ln in cigar:
-        if out and out[-1][0] == op:
-            out[-1] = (op, out[-1][1] + ln)
+
+    def push(op, ln):
+        if cigar and cigar[-1][0] == op:
+            cigar[-1] = (op, cigar[-1][1] + ln)
         else:
-            out.append((op, ln))
-    return score, out
+            cigar.append((op, ln))
+
+    which = 0
+    i = tlen - 1
+    k = min(i + w + 1, qlen) - 1
+    while i >= 0 and k >= 0:
+        beg = max(0, i - w)
+        which = (int(z[i][k - beg]) >> (which << 1)) & 3
+        if which == 0:
+            push(0, 1)
+            i -= 1
+            k -= 1
+        elif which == 1:
+            push(2, 1)
+            i -= 1
+        else:
+            push(1, 1)
+            k -= 1
+    if i >= 0:
+        push(2, i + 1)
+    if k >= 0:
+        push(1, k + 1)
+    cigar.reverse()
+    return score, cigar
 
 
 @dataclasses.dataclass

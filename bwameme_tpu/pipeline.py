@@ -1,0 +1,95 @@
+"""End-to-end single-end alignment pipeline (mem driver).
+
+The analog of mem_process_seqs (reference: src/bwamem.cpp:1920-1971) for
+single-end reads:
+
+  kernel 1: seeding (SMEMs) + chaining + chain filters   [worker_bwt]
+  kernel 2: batched banded-SW extension + dedup/patch    [worker_aln]
+  kernel 3: primary marking + mapq + CIGAR + SAM         [worker_sam]
+
+Seeding/extension run batched on device (JAX); chaining and finalization are
+host-side (small per-read work), mirroring where the reference spends its
+cycles (SURVEY.md §3.1 hot loops).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from bwameme_tpu.align import chain as chain_mod
+from bwameme_tpu.align import extend as extend_mod
+from bwameme_tpu.align import finalize
+from bwameme_tpu.index.build import MemeIndex
+from bwameme_tpu.index.packing import NT4_TABLE
+from bwameme_tpu.io.fastq import Read
+from bwameme_tpu.seeding.host_engine import HostSeedingEngine
+from bwameme_tpu.utils.config import MEM_F_PRIMARY5, MemOptions
+
+
+@dataclasses.dataclass
+class ReadRec:
+    name: str
+    codes: np.ndarray
+    qual: str | None
+    comment: str | None
+
+
+class Aligner:
+    def __init__(self, idx: MemeIndex, opt: MemOptions | None = None,
+                 seeding_engine=None, rg_id: str | None = None) -> None:
+        self.idx = idx
+        self.opt = opt or MemOptions()
+        self.engine = seeding_engine or HostSeedingEngine(idx, self.opt)
+        self.rg_id = rg_id
+        self.n_processed = 0
+
+    def _encode(self, read: Read) -> ReadRec:
+        codes = NT4_TABLE[np.frombuffer(read.seq.encode(), dtype=np.uint8)]
+        return ReadRec(read.name, codes, read.qual, read.comment)
+
+    def collect_smems(self, recs: list[ReadRec]):
+        """Kernel-1 seeding for a batch (overridable by the device engine)."""
+        return [self.engine.sorted_smems(r.codes) for r in recs]
+
+    def align_batch(self, reads: list[Read]) -> list[str]:
+        """Align a batch of single-end reads; returns SAM line blocks
+        (one string per read, possibly multi-line)."""
+        opt = self.opt
+        idx = self.idx
+        bns = idx.bns
+        text = idx.text
+        recs = [self._encode(r) for r in reads]
+
+        # kernel 1: seeds -> chains
+        smems_per_read = self.collect_smems(recs)
+        chains_per_read = []
+        for rec, smems in zip(recs, smems_per_read):
+            chains = chain_mod.chain_seeds(opt, bns, len(rec.codes), smems, idx.sa)
+            chains = chain_mod.filter_chains(opt, chains)
+            chain_mod.filter_chained_seeds(opt, bns, text, rec.codes,
+                                           len(rec.codes), chains)
+            chains_per_read.append(chains)
+
+        # kernel 2: extension (batched SW) + dedup
+        queries = [r.codes for r in recs]
+        regs_per_read = extend_mod.extend_chains_batch(
+            opt, bns, text, queries, chains_per_read
+        )
+        out = []
+        for li, (rec, regs) in enumerate(zip(recs, regs_per_read)):
+            regs = [r for r in regs if r.qe > r.qb]
+            regs = finalize.sort_dedup_patch(opt, bns, text, rec.codes, regs)
+            for r in regs:
+                if r.rid >= 0 and getattr(bns.contigs[r.rid], "is_alt", False):
+                    r.is_alt = True
+            # kernel 3: SAM
+            regs = finalize.mark_primary(opt, regs, self.n_processed + li)
+            if opt.flag & MEM_F_PRIMARY5:
+                finalize.reorder_primary5(opt.T, regs)
+            sam = finalize.reg2sam(opt, bns, text, rec, rec.codes, regs,
+                                   rg_id=self.rg_id)
+            out.append(sam)
+        self.n_processed += len(reads)
+        return out
