@@ -1,0 +1,351 @@
+"""Device (JAX/TPU) suffix-array search primitives for learned-index seeding.
+
+This is the TPU-native replacement for the reference's last-mile search stack
+(learned_index_lookup + compare_read_and_ref_binary + mem_search /
+right_smem_search, reference: src/LearnedIndex_seeding.cpp:186-3200):
+
+* patterns are 2-bit packed reads in uint32 words (16 bases/word, MSB-first,
+  so unsigned word comparison == lexicographic base comparison — the TPU
+  analog of the reference's byte-shifted buffers, src/bwamem.cpp:1264-1344);
+* the P-RMI predicts a guaranteed [lo, hi) window per query (see
+  models/prmi.py), inside which a fixed-iteration masked binary search finds
+  the lower bound — replacing the reference's unbounded linear-walk
+  correction with a TPU-schedulable loop;
+* suffix comparison resolves within the per-entry 32-base stored keys
+  (key_hi/key_lo planes = the reference's LOADSUFFIX layout,
+  src/LearnedIndex_seeding.h:79-88) and falls through to chunked 16-base
+  gathers from the packed text only for >=32-base ties (rare; guarded by a
+  batch-wide early-exit while_loop);
+* all primitives are flat-batched over queries: (row, pivot, v) triples
+  index into a (2R, W) packed query buffer whose second half holds the
+  reverse-complement reads (left extensions = RC right searches, the same
+  one-SA trick the reference uses).
+
+Everything is int32/uint32; works for references up to 2^31 text length
+(a human-genome-scale text is sharded across devices by the parallel layer).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+U32 = jnp.uint32
+I32 = jnp.int32
+FULL = jnp.uint32(0xFFFFFFFF)
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceIndex:
+    """HBM-resident index arrays (see index/build.py for provenance)."""
+
+    text32: jax.Array      # uint32[Wt] packed text (+ guard words of T)
+    sa: jax.Array          # int32[N]
+    key_hi: jax.Array      # uint32[N]
+    key_lo: jax.Array      # uint32[N]
+    leaf_start: jax.Array  # int32[L+1]
+    alpha: jax.Array       # float32[L]
+    beta: jax.Array        # float32[L]
+    err_lo: jax.Array      # int32[L]
+    err_hi: jax.Array      # int32[L]
+    bits: int              # static
+    n_sa: int              # static
+    isa: jax.Array | None = None  # int32[N] inverse SA (MODE3)
+
+    @staticmethod
+    def from_host(idx) -> "DeviceIndex":
+        return DeviceIndex(
+            text32=jnp.asarray(idx.text32, dtype=jnp.uint32),
+            sa=jnp.asarray(idx.sa, dtype=jnp.int32),
+            key_hi=jnp.asarray(idx.key_hi, dtype=jnp.uint32),
+            key_lo=jnp.asarray(idx.key_lo, dtype=jnp.uint32),
+            leaf_start=jnp.asarray(idx.rmi_leaf_start, dtype=jnp.int32),
+            alpha=jnp.asarray(idx.rmi_alpha),
+            beta=jnp.asarray(idx.rmi_beta),
+            err_lo=jnp.asarray(idx.rmi_err_lo, dtype=jnp.int32),
+            err_hi=jnp.asarray(idx.rmi_err_hi, dtype=jnp.int32),
+            bits=int(idx.rmi_bits),
+            n_sa=int(idx.n_sa),
+            isa=jnp.asarray(idx.isa, dtype=jnp.int32) if idx.isa is not None else None,
+        )
+
+def _gather_words3(buf: jax.Array, word_idx: jax.Array):
+    w0 = jnp.take(buf, word_idx, axis=0, mode="clip")
+    w1 = jnp.take(buf, word_idx + 1, axis=0, mode="clip")
+    w2 = jnp.take(buf, word_idx + 2, axis=0, mode="clip")
+    return w0, w1, w2
+
+
+def _combine(w0, w1, sh):
+    """(w0 << sh) | (w1 >> (32-sh)) with sh==0 handled (shift clamped)."""
+    rsh = jnp.minimum(jnp.uint32(32) - sh, jnp.uint32(31))
+    lo = jnp.where(sh == 0, jnp.uint32(0), w1 >> rsh)
+    return jnp.where(sh == 0, w0, (w0 << sh) | lo)
+
+
+def _high_mask(nbits):
+    """uint32 mask with the top `nbits` (0..32) bits set."""
+    nb = jnp.clip(nbits, 0, 32).astype(jnp.uint32)
+    m = ~(FULL >> jnp.minimum(nb, jnp.uint32(31)))
+    m = jnp.where(nb == 0, jnp.uint32(0), m)
+    return jnp.where(nb >= 32, FULL, m)
+
+
+def keep_masks(l_bases):
+    """(keep_hi, keep_lo): masks selecting the first l_bases of a 32-base
+    (khi, klo) pattern."""
+    b = jnp.clip(l_bases * 2, 0, 64).astype(jnp.int32)
+    return _high_mask(b), _high_mask(b - 32)
+
+
+def extract_pattern_words(qbuf32: jax.Array, row: jax.Array, pivot: jax.Array):
+    """32-base window starting at `pivot` of packed query row -> (khi, klo)."""
+    W = qbuf32.shape[1]
+    flat = qbuf32.reshape(-1)
+    base = row * W + (pivot >> 4)
+    w0, w1, w2 = _gather_words3(flat, base)
+    sh = (pivot.astype(jnp.uint32) & jnp.uint32(15)) * jnp.uint32(2)
+    khi = _combine(w0, w1, sh)
+    klo = _combine(w1, w2, sh)
+    return khi, klo
+
+
+def query_word_at(qbuf32: jax.Array, row: jax.Array, pos: jax.Array):
+    """16-base word of the query starting at base position pos."""
+    W = qbuf32.shape[1]
+    flat = qbuf32.reshape(-1)
+    base = row * W + (pos >> 4)
+    w0, w1, _ = _gather_words3(flat, base)
+    sh = (pos.astype(jnp.uint32) & jnp.uint32(15)) * jnp.uint32(2)
+    return _combine(w0, w1, sh)
+
+
+def text_word_at(text32: jax.Array, pos: jax.Array):
+    w0, w1, _ = _gather_words3(text32, pos >> 4)
+    sh = (pos.astype(jnp.uint32) & jnp.uint32(15)) * jnp.uint32(2)
+    return _combine(w0, w1, sh)
+
+
+def _msb32(x: jax.Array) -> jax.Array:
+    """Index of highest set bit (x != 0), vectorized int ops."""
+    x = x.astype(jnp.uint32)
+    r = jnp.zeros(x.shape, jnp.uint32)
+    for s in (16, 8, 4, 2, 1):
+        m = x >= (jnp.uint32(1) << jnp.uint32(s))
+        r = r + jnp.where(m, jnp.uint32(s), jnp.uint32(0))
+        x = jnp.where(m, x >> jnp.uint32(s), x)
+    return r
+
+
+def _lcp_bases32(x: jax.Array) -> jax.Array:
+    """Number of leading equal 2-bit bases encoded by a 32-bit xor (0..16)."""
+    msb = _msb32(x)
+    return jnp.where(x == 0, jnp.int32(16), (31 - msb.astype(jnp.int32)) >> 1)
+
+
+@functools.partial(jax.jit, static_argnames=("need_lcp",))
+def compare_keys(khi, klo, skhi, sklo, v, need_lcp=True):
+    """Compare pattern (khi,klo) of length v<=32 bases with suffix key.
+    Returns (less, lcp, resolved_within_32)."""
+    x_hi = khi ^ skhi
+    x_lo = klo ^ sklo
+    lcp = jnp.where(
+        x_hi != 0,
+        _lcp_bases32(x_hi),
+        16 + _lcp_bases32(x_lo),
+    )
+    vc = jnp.minimum(v, 32)
+    diff_before_v = lcp < vc
+    less = jnp.where(
+        x_hi != 0, skhi < khi, sklo < klo
+    )
+    less = jnp.where(diff_before_v, less, False)
+    lcp = jnp.minimum(lcp, vc)
+    resolved = diff_before_v | (v <= 32)
+    return less, lcp, resolved
+
+
+def make_search_fns(di: DeviceIndex, max_read_words: int = 40):
+    """Build jitted search primitives closed over the device index."""
+    text32 = di.text32
+    sa = di.sa
+    key_hi = di.key_hi
+    key_lo = di.key_lo
+    bits = di.bits
+    n_sa = di.n_sa
+    shift = jnp.uint32(32 - bits)
+    rel_mask = jnp.uint32((1 << (32 - bits)) - 1) if bits < 32 else jnp.uint32(0)
+
+    def rmi_window(khi, klo):
+        leaf = (khi >> shift).astype(jnp.int32)
+        rel = (khi & rel_mask).astype(jnp.float32) * jnp.float32(4294967296.0) \
+            + klo.astype(jnp.float32)
+        ls = jnp.take(di.leaf_start, leaf, mode="clip")
+        le = jnp.take(di.leaf_start, leaf + 1, mode="clip")
+        cnt = (le - ls).astype(jnp.float32)
+        predf = jnp.clip(
+            jnp.take(di.alpha, leaf, mode="clip")
+            + jnp.take(di.beta, leaf, mode="clip") * rel,
+            0.0, cnt,
+        )
+        pred = ls + predf.astype(jnp.int32)
+        lo = jnp.maximum(pred - jnp.take(di.err_lo, leaf, mode="clip"), 0)
+        hi = jnp.minimum(pred + jnp.take(di.err_hi, leaf, mode="clip"), n_sa)
+        return lo, hi
+
+    def deep_cmp(qbuf32, row, pivot, v, sa_idx, base_lcp, base_less, resolved):
+        """Continue comparison beyond 32 bases, 16-base chunks."""
+        tpos = jnp.take(sa, jnp.clip(sa_idx, 0, n_sa - 1), mode="clip")
+
+        def cond(st):
+            step, resolved, less, lcp = st
+            return (step < max_read_words) & jnp.any(~resolved)
+
+        def body(st):
+            step, resolved, less, lcp = st
+            off = 32 + step * 16
+            qv = query_word_at(qbuf32, row, pivot + off)
+            tv = text_word_at(text32, tpos + off)
+            x = qv ^ tv
+            chunk_lcp = _lcp_bases32(x)
+            rem = v - off  # bases remaining after off
+            this_lcp = jnp.minimum(chunk_lcp, jnp.maximum(rem, 0))
+            new_lcp = jnp.where(resolved, lcp, off + this_lcp)
+            diff_in = chunk_lcp < jnp.minimum(rem, 16)
+            new_less = jnp.where(
+                resolved, less, jnp.where(diff_in, tv < qv, False)
+            )
+            now_resolved = resolved | diff_in | (rem <= 16)
+            return step + 1, now_resolved, new_less, new_lcp
+
+        _, resolved, less, lcp = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), resolved, base_less, base_lcp)
+        )
+        return less, lcp
+
+    def suffix_cmp(qbuf32, row, pivot, v, sa_idx):
+        """Full comparison: (less, lcp) of suffix sa[sa_idx] vs pattern."""
+        idx = jnp.clip(sa_idx, 0, n_sa - 1)
+        khi, klo = extract_pattern_words(qbuf32, row, pivot)
+        skhi = jnp.take(key_hi, idx, mode="clip")
+        sklo = jnp.take(key_lo, idx, mode="clip")
+        x_hi = khi ^ skhi
+        x_lo = klo ^ sklo
+        lcp32 = jnp.where(x_hi != 0, _lcp_bases32(x_hi), 16 + _lcp_bases32(x_lo))
+        vc = jnp.minimum(v, 32)
+        diff_before = lcp32 < vc
+        less0 = jnp.where(x_hi != 0, skhi < khi, sklo < klo)
+        less0 = jnp.where(diff_before, less0, False)
+        lcp0 = jnp.minimum(lcp32, vc)
+        resolved = diff_before | (v <= 32)
+        less, lcp = deep_cmp(qbuf32, row, pivot, v, idx, lcp0, less0, resolved)
+        # out-of-range sentinel indices: treat as lcp 0
+        oob = (sa_idx < 0) | (sa_idx >= n_sa)
+        lcp = jnp.where(oob, 0, lcp)
+        less = jnp.where(sa_idx < 0, True, jnp.where(sa_idx >= n_sa, False, less))
+        return less, lcp
+
+    def lower_bound(qbuf32, row, pivot, v, wlo, whi, strict_greater=False):
+        """First index in [wlo, whi] where suffix >= pattern[:v]
+        (or > pattern[:v] when strict_greater: used for upper bounds)."""
+
+        def cond(st):
+            lo, hi = st
+            return jnp.any(lo < hi)
+
+        def body(st):
+            lo, hi = st
+            mid = (lo + hi) >> 1
+            less, lcp = suffix_cmp(qbuf32, row, pivot, v, mid)
+            pred = less | (lcp >= v) if strict_greater else less
+            active = lo < hi
+            lo = jnp.where(active & pred, mid + 1, lo)
+            hi = jnp.where(active & (~pred), mid, hi)
+            return lo, hi
+
+        lo, _ = jax.lax.while_loop(cond, body, (wlo, whi))
+        return lo
+
+    @jax.jit
+    def find_longest(qbuf32, row, pivot, v):
+        """Max LCP of pattern over the whole SA: (mlen, best_ip)."""
+        khi, klo = extract_pattern_words(qbuf32, row, pivot)
+        # T-pad the RMI key beyond v bases (key == pattern + T-pad)
+        keep_hi, keep_lo = keep_masks(v)
+        khi_p = (khi & keep_hi) | ~keep_hi
+        klo_p = (klo & keep_lo) | ~keep_lo
+        wlo, whi = rmi_window(khi_p, klo_p)
+        ip = lower_bound(qbuf32, row, pivot, v, wlo, whi)
+        _, l0 = suffix_cmp(qbuf32, row, pivot, v, ip - 1)
+        _, l1 = suffix_cmp(qbuf32, row, pivot, v, ip)
+        return jnp.maximum(l0, l1), ip
+
+    @jax.jit
+    def interval_at(qbuf32, row, pivot, l):
+        """(lb, count) of the SA interval of suffixes with prefix
+        pattern[:l]."""
+        khi, klo = extract_pattern_words(qbuf32, row, pivot)
+        keep_hi, keep_lo = keep_masks(l)
+        # A-padded key (lower bound) = mask off bits beyond l
+        khi_a = khi & keep_hi
+        klo_a = klo & keep_lo
+        # T-padded key (upper bound)
+        khi_t = khi_a | ~keep_hi
+        klo_t = klo_a | ~keep_lo
+        wlo_a, whi_a = rmi_window(khi_a, klo_a)
+        wlo_t, whi_t = rmi_window(khi_t, klo_t)
+        lb = lower_bound(qbuf32, row, pivot, l, wlo_a, whi_a)
+        ub = lower_bound(qbuf32, row, pivot, l, wlo_t, whi_t, strict_greater=True)
+        return lb, ub - lb
+
+    @jax.jit
+    def lcp_at(qbuf32, row, pivot, cap, sa_idx):
+        """LCP of suffix sa[sa_idx] with pattern[:cap] (0 if out of range)."""
+        _, l = suffix_cmp(qbuf32, row, pivot, cap, sa_idx)
+        return l
+
+    @jax.jit
+    def sa_query(qbuf32, row, pivot, v, min_intv):
+        """The widening fixed point: longest l with interval count >= min_intv.
+        Returns (l, lb, cnt). v==0 lanes are inert (return 0,0,n_sa)."""
+        mlen, _ = find_longest(qbuf32, row, pivot, jnp.maximum(v, 1))
+        mlen = jnp.where(v <= 0, 0, mlen)
+
+        def cond(st):
+            mlen, lb, cnt, done = st
+            return jnp.any(~done)
+
+        def body(st):
+            mlen, lb, cnt, done = st
+            l_eff = jnp.maximum(mlen, 1)
+            lb2, cnt2 = interval_at(qbuf32, row, pivot, l_eff)
+            lb2 = jnp.where(mlen == 0, 0, lb2)
+            cnt2 = jnp.where(mlen == 0, n_sa, cnt2)
+            sat = (cnt2 >= min_intv) | (mlen == 0)
+            l0 = lcp_at(qbuf32, row, pivot, l_eff, lb2 - 1)
+            l1 = lcp_at(qbuf32, row, pivot, l_eff, lb2 + cnt2)
+            nxt = jnp.maximum(l0, l1)
+            new_mlen = jnp.where(done | sat, mlen, nxt)
+            new_lb = jnp.where(done, lb, lb2)
+            new_cnt = jnp.where(done, cnt, cnt2)
+            return new_mlen, new_lb, new_cnt, done | sat
+
+        mlen, lb, cnt, _ = jax.lax.while_loop(
+            cond, body,
+            (mlen, jnp.zeros_like(mlen), jnp.zeros_like(mlen),
+             jnp.zeros(mlen.shape, jnp.bool_)),
+        )
+        return mlen, lb, cnt
+
+    return dict(
+        rmi_window=rmi_window,
+        suffix_cmp=suffix_cmp,
+        find_longest=find_longest,
+        interval_at=interval_at,
+        lcp_at=lcp_at,
+        sa_query=sa_query,
+    )

@@ -50,7 +50,10 @@ class Aligner:
         return ReadRec(read.name, codes, read.qual, read.comment)
 
     def collect_smems(self, recs: list[ReadRec]):
-        """Kernel-1 seeding for a batch (overridable by the device engine)."""
+        """Kernel-1 seeding for a batch; uses the engine's batched interface
+        when available (DeviceSeedingEngine)."""
+        if hasattr(self.engine, "sorted_smems_batch"):
+            return self.engine.sorted_smems_batch([r.codes for r in recs])
         return [self.engine.sorted_smems(r.codes) for r in recs]
 
     def align_batch(self, reads: list[Read]) -> list[str]:

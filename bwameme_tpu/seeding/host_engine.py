@@ -191,12 +191,20 @@ class HostSeedingEngine:
                             return l
                         p += 1
                         continue
+                    prev_sp = p
                     blen = left_len(p, 1)
                     p = p - blen + 1
                     if next_pivot - p < opt.min_seed_len:
                         break
                     rlen = right_emit(p, 1, opt.min_seed_len)
                     p = p + rlen
+                    # Progress guard: the reference asserts pivot+len >
+                    # search_pivot (DEBUG_MODE, src/LearnedIndex_seeding.cpp
+                    # :1848). A left match reaching the T-padding junction can
+                    # exceed the forward match and stall the zigzag; force
+                    # strictly increasing search pivots.
+                    if p <= prev_sp:
+                        p = prev_sp + 1
                 return l
             else:
                 rlen = right_emit(pivot, 1, opt.min_seed_len)
@@ -213,12 +221,15 @@ class HostSeedingEngine:
                 p = pivot
                 search_pivot = p
                 while search_pivot < next_pivot:
+                    prev_sp = search_pivot
                     blen = left_len(p, min_intv)
                     p = p - blen + 1
                     if next_pivot - p < opt.min_seed_len:
                         break
                     rlen2 = right_emit(p, min_intv, opt.min_seed_len)
                     search_pivot = p + rlen2
+                    if search_pivot <= prev_sp:  # progress guard (see step1)
+                        search_pivot = prev_sp + 1
                     p = search_pivot
             else:
                 right_emit(pivot, min_intv, opt.min_seed_len)

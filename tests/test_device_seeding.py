@@ -1,0 +1,92 @@
+"""Differential test: device (JAX) seeding engine vs host scalar engine —
+the compare_result.sh pattern (reference: test/compare_result.sh) with the
+host engine as the oracle."""
+
+import numpy as np
+import pytest
+
+from bwameme_tpu.index import bntseq
+from bwameme_tpu.index.build import build_index
+from bwameme_tpu.seeding.engine import DeviceSeedingEngine
+from bwameme_tpu.seeding.host_engine import HostSeedingEngine
+from bwameme_tpu.utils.config import MemOptions
+
+
+@pytest.fixture(scope="module")
+def engines():
+    rng = np.random.default_rng(77)
+    n = 30000
+    code = rng.integers(0, 4, n).astype(np.uint8)
+    # add some repetitive structure to exercise interval widening
+    code[10000:10400] = np.tile(code[10000:10050], 8)
+    bns = bntseq.BntSeq(
+        l_pac=n, contigs=[bntseq.Contig("c", "", 0, n, 0)], ambs=[], code=code
+    )
+    idx = build_index(bns, rmi_bits=11)
+    opt = MemOptions()
+    return HostSeedingEngine(idx, opt), DeviceSeedingEngine(idx, opt), idx, rng
+
+
+def _cmp(host_eng, dev_eng, reads):
+    host = [host_eng.sorted_smems(c) for c in reads]
+    dev = dev_eng.sorted_smems_batch(reads)
+    for ri, (h, d) in enumerate(zip(host, dev)):
+        hs = [(s.start, s.end, s.sa_lo, s.hitcount) for s in h]
+        ds = [(s.start, s.end, s.sa_lo, s.hitcount) for s in d]
+        assert hs == ds, (ri, hs, ds)
+
+
+def test_sampled_reads(engines):
+    host_eng, dev_eng, idx, rng = engines
+    reads = []
+    for _ in range(12):
+        st = int(rng.integers(0, idx.l_pac - 150))
+        c = idx.text[st : st + 120].copy()
+        for _ in range(int(rng.integers(0, 4))):
+            pp = int(rng.integers(0, 120))
+            c[pp] = (c[pp] + rng.integers(1, 4)) % 4
+        reads.append(c)
+    _cmp(host_eng, dev_eng, reads)
+
+
+def test_rc_and_random_reads(engines):
+    host_eng, dev_eng, idx, rng = engines
+    reads = []
+    for i in range(8):
+        st = int(rng.integers(0, idx.l_pac - 150))
+        c = idx.text[st : st + 101].copy()
+        if i % 2:
+            c = (3 - c[::-1]).astype(np.uint8)
+        reads.append(c)
+    reads.append(rng.integers(0, 4, 100).astype(np.uint8))  # garbage
+    _cmp(host_eng, dev_eng, reads)
+
+
+def test_repetitive_region_reads(engines):
+    host_eng, dev_eng, idx, rng = engines
+    # reads from the repetitive block: many hits, interval widening, reseeding
+    reads = [idx.text[10000 + k * 37 : 10000 + k * 37 + 100].copy() for k in range(5)]
+    _cmp(host_eng, dev_eng, reads)
+
+
+def test_reads_with_n(engines):
+    host_eng, dev_eng, idx, rng = engines
+    reads = []
+    for k in range(5):
+        st = int(rng.integers(0, idx.l_pac - 150))
+        c = idx.text[st : st + 110].copy()
+        for _ in range(int(rng.integers(1, 4))):
+            c[int(rng.integers(0, 110))] = 4
+        reads.append(c)
+    _cmp(host_eng, dev_eng, reads)
+
+
+def test_short_and_edge_reads(engines):
+    host_eng, dev_eng, idx, rng = engines
+    reads = [
+        idx.text[:60].copy(),                       # start of text
+        idx.text[idx.l_pac - 60 : idx.l_pac].copy(),  # end of fwd strand
+        idx.text[100:118].copy(),                    # shorter than min_seed
+        np.zeros(40, np.uint8),                      # poly-A
+    ]
+    _cmp(host_eng, dev_eng, reads)

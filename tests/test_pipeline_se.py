@@ -158,3 +158,22 @@ def test_batch_of_reads(setup):
     assert len(sams) == 20
     mapped = sum(1 for s in sams if not (int(s.split("\t")[1]) & 0x4))
     assert mapped >= 18  # nearly all map
+
+
+def test_pipeline_with_device_engine(setup):
+    from bwameme_tpu.seeding.engine import DeviceSeedingEngine
+
+    idx, _, rng = setup
+    from bwameme_tpu.pipeline import Aligner
+
+    dev_aligner = Aligner(idx, seeding_engine=DeviceSeedingEngine(idx, Aligner(idx).opt))
+    host_aligner = Aligner(idx)
+    reads = [
+        _mk_read(idx, int(rng.integers(0, idx.l_pac - 150)), 100, rng,
+                 nmut=int(rng.integers(0, 3)), rc=bool(rng.integers(0, 2)),
+                 name=f"d{i}")
+        for i in range(10)
+    ]
+    sam_dev = dev_aligner.align_batch(reads)
+    sam_host = host_aligner.align_batch(reads)
+    assert sam_dev == sam_host
