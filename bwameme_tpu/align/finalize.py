@@ -113,6 +113,8 @@ def gen_cigar(opt, bns, text: np.ndarray, w: int, query_seg: np.ndarray,
 def mem_patch_reg(opt, bns, text: np.ndarray, query: np.ndarray,
                   a: AlnReg, b: AlnReg):
     """reference: src/bwamem.cpp:194-247. Returns (score, w) or (0, 0)."""
+    if text is None or query is None:  # bns==0 mode (mate-rescue dedup)
+        return 0, 0
     if a.rb < bns.l_pac <= b.rb:
         return 0, 0
     if a.qb >= b.qb or a.qe >= b.qe or a.re >= b.re:

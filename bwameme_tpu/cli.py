@@ -1,0 +1,152 @@
+"""Command-line interface: ``bwameme index`` and ``bwameme mem``.
+
+The analog of the reference binary's subcommand dispatch (src/main.cpp:55-137)
+and the mem option surface (src/fastmap.cpp:1229-1374). Flags keep bwa-mem's
+single-letter names so drivers/scripts written for bwa-mem/bwa-mem2/BWA-MEME
+work unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from bwameme_tpu import __version__
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="bwameme-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build the learned (P-RMI) index")
+    pi.add_argument("fasta")
+    pi.add_argument("-p", "--prefix", default=None, help="index prefix")
+    pi.add_argument("--rmi-bits", type=int, default=None)
+    pi.add_argument("--no-isa", action="store_true",
+                    help="skip the inverse suffix array (MODE<3 semantics)")
+
+    pm = sub.add_parser("mem", help="align reads, print SAM on stdout")
+    pm.add_argument("prefix", help="index prefix (from `index`)")
+    pm.add_argument("reads1")
+    pm.add_argument("reads2", nargs="?", default=None)
+    pm.add_argument("-t", type=int, default=1, help="threads (accepted for "
+                    "compatibility; device batching replaces host threads)")
+    pm.add_argument("-k", type=int, default=19, help="min seed length")
+    pm.add_argument("-w", type=int, default=100, help="band width")
+    pm.add_argument("-d", type=int, default=100, help="Z-dropoff")
+    pm.add_argument("-r", type=float, default=1.5, help="reseed trigger")
+    pm.add_argument("-c", type=int, default=500, help="max occurrences")
+    pm.add_argument("-A", type=int, default=1, help="match score")
+    pm.add_argument("-B", type=int, default=4, help="mismatch penalty")
+    pm.add_argument("-O", type=int, default=6, help="gap open penalty")
+    pm.add_argument("-E", type=int, default=1, help="gap extension penalty")
+    pm.add_argument("-L", type=int, default=5, help="clipping penalty")
+    pm.add_argument("-U", type=int, default=17, help="unpaired penalty")
+    pm.add_argument("-T", type=int, default=30, help="min score to output")
+    pm.add_argument("-K", type=int, default=None,
+                    help="chunk size in bp (reproducibility knob)")
+    pm.add_argument("-R", default=None, help="read group header line")
+    pm.add_argument("-Y", action="store_true", help="use soft clipping for "
+                    "supplementary alignments")
+    pm.add_argument("-a", action="store_true", help="output all alignments")
+    pm.add_argument("-5", dest="primary5", action="store_true",
+                    help="always take the leftmost alignment as primary")
+    pm.add_argument("--engine", choices=["device", "host"], default="device")
+    pm.add_argument("--batch", type=int, default=512,
+                    help="reads per device batch")
+    return p
+
+
+def cmd_index(args) -> int:
+    from bwameme_tpu.index.build import build_from_fasta, save_index
+
+    prefix = args.prefix or args.fasta
+    t0 = time.time()
+    idx = build_from_fasta(
+        args.fasta, with_isa=not args.no_isa, rmi_bits=args.rmi_bits
+    )
+    print(f"[index] built in {time.time()-t0:.1f}s: l_pac={idx.l_pac} "
+          f"n_sa={idx.n_sa} rmi_bits={idx.rmi_bits} max_err={idx.max_err}",
+          file=sys.stderr)
+    save_index(idx, prefix)
+    print(f"[index] saved to {prefix}.meme.npz (+ .pac/.ann/.amb)",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_mem(args) -> int:
+    from bwameme_tpu.index.build import load_index
+    from bwameme_tpu.io import fastq, sam
+    from bwameme_tpu.pipeline import Aligner
+    from bwameme_tpu.utils.config import (
+        MEM_F_ALL, MEM_F_PE, MEM_F_PRIMARY5, MEM_F_SOFTCLIP, MemOptions,
+    )
+    from bwameme_tpu.utils.timer import StageTimer
+
+    opt = MemOptions(
+        a=args.A, b=args.B, o_del=args.O, o_ins=args.O, e_del=args.E,
+        e_ins=args.E, w=args.w, zdrop=args.d, min_seed_len=args.k,
+        split_factor=args.r, max_occ=args.c, pen_clip5=args.L,
+        pen_clip3=args.L, pen_unpaired=args.U, T=args.T,
+    )
+    if args.Y:
+        opt.flag |= MEM_F_SOFTCLIP
+    if args.a:
+        opt.flag |= MEM_F_ALL
+    if args.primary5:
+        opt.flag |= MEM_F_PRIMARY5
+    paired = args.reads2 is not None
+    if paired:
+        opt.flag |= MEM_F_PE
+
+    timer = StageTimer()
+    with timer.stage("index_load"):
+        idx = load_index(args.prefix)
+    engine = None
+    if args.engine == "device":
+        from bwameme_tpu.seeding.engine import DeviceSeedingEngine
+
+        engine = DeviceSeedingEngine(idx, opt)
+    rg_id = None
+    rg_line = None
+    if args.R:
+        rg_line = args.R.replace("\\t", "\t")
+        for f in rg_line.split("\t"):
+            if f.startswith("ID:"):
+                rg_id = f[3:]
+    aligner = Aligner(idx, opt, seeding_engine=engine, rg_id=rg_id)
+    pg = sam.make_pg_line(__version__, " ".join(sys.argv))
+    sys.stdout.write(sam.sam_header(idx.bns, rg_line=rg_line, pg_line=pg))
+
+    chunk_bp = args.K if args.K else 10_000_000 * max(args.t, 1)
+    n = 0
+    t0 = time.time()
+    for chunk in fastq.read_chunks(args.reads1, args.reads2, chunk_bp):
+        with timer.stage("align"):
+            if paired:
+                blocks = aligner.align_pairs(chunk)
+            else:
+                for i in range(0, len(chunk), args.batch):
+                    blocks = aligner.align_batch(chunk[i: i + args.batch])
+                    with timer.stage("write"):
+                        sys.stdout.writelines(blocks)
+                blocks = []
+        with timer.stage("write"):
+            sys.stdout.writelines(blocks)
+        n += len(chunk)
+        print(f"[mem] processed {n} reads ({n/(time.time()-t0):.0f} reads/s)",
+              file=sys.stderr)
+    timer.report(sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "index":
+        return cmd_index(args)
+    return cmd_mem(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -96,3 +96,51 @@ class Aligner:
             out.append(sam)
         self.n_processed += len(reads)
         return out
+
+    def align_pairs(self, reads: list[Read]) -> list[str]:
+        """Align interleaved paired-end reads (R1,R2,R1,R2,...); returns SAM
+        line blocks per read. Mirrors the PE flow of mem_process_seqs
+        (reference: src/bwamem.cpp:1920-1971 + worker_sam PE branch)."""
+        from bwameme_tpu.align import pairing
+
+        assert len(reads) % 2 == 0
+        opt = self.opt
+        idx = self.idx
+        bns = idx.bns
+        text = idx.text
+        recs = [self._encode(r) for r in reads]
+
+        smems_per_read = self.collect_smems(recs)
+        chains_per_read = []
+        for rec, smems in zip(recs, smems_per_read):
+            chains = chain_mod.chain_seeds(opt, bns, len(rec.codes), smems, idx.sa)
+            chains = chain_mod.filter_chains(opt, chains)
+            chain_mod.filter_chained_seeds(opt, bns, text, rec.codes,
+                                           len(rec.codes), chains)
+            chains_per_read.append(chains)
+        queries = [r.codes for r in recs]
+        regs_per_read = extend_mod.extend_chains_batch(
+            opt, bns, text, queries, chains_per_read
+        )
+        deduped = []
+        for rec, regs in zip(recs, regs_per_read):
+            regs = [r for r in regs if r.qe > r.qb]
+            regs = finalize.sort_dedup_patch(opt, bns, text, rec.codes, regs)
+            for r in regs:
+                if r.rid >= 0 and getattr(bns.contigs[r.rid], "is_alt", False):
+                    r.is_alt = True
+            deduped.append(regs)
+
+        # insert-size statistics over the whole chunk
+        pes = pairing.pestat(opt, bns.l_pac, deduped)
+        out = []
+        for i in range(0, len(reads), 2):
+            pair_id = (self.n_processed >> 1) + (i >> 1)
+            s0, s1 = pairing.sam_pe(
+                opt, bns, text, pes, pair_id,
+                [recs[i], recs[i + 1]], [deduped[i], deduped[i + 1]],
+                rg_id=self.rg_id,
+            )
+            out.extend([s0, s1])
+        self.n_processed += len(reads)
+        return out
