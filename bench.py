@@ -18,9 +18,9 @@ import time
 import numpy as np
 
 REF_MBP = float(os.environ.get("BWAMEME_BENCH_MBP", "8"))
-N_READS = int(os.environ.get("BWAMEME_BENCH_READS", "4096"))
+N_READS = int(os.environ.get("BWAMEME_BENCH_READS", "2048"))
 READ_LEN = 151
-BATCH = int(os.environ.get("BWAMEME_BENCH_BATCH", "1024"))
+BATCH = int(os.environ.get("BWAMEME_BENCH_BATCH", "512"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
@@ -79,9 +79,13 @@ def main():
     rng = np.random.default_rng(7)
     reads = make_reads(idx, rng)
 
-    eng = DeviceSeedingEngine(idx, opt)
-    # warmup/compile on a small batch
-    eng.collect_smems_batch(reads[:64])
+    eng = DeviceSeedingEngine(idx, opt, lanes=BATCH)
+    # warmup/compile: run the first full-size batch once (same shapes as
+    # production so nothing recompiles during the timed run)
+    import time as _t
+    _t0 = _t.time()
+    eng.collect_smems_batch(reads[:BATCH])
+    print(f"# warmup+compile: {_t.time()-_t0:.1f}s", file=sys.stderr)
     t0 = time.time()
     n_smems = 0
     for i in range(0, len(reads), BATCH):

@@ -517,6 +517,10 @@ def reg2sam(opt, bns, text: np.ndarray, read, query: np.ndarray,
     aa: list[MemAln] = []
     l = 0
     l_query = len(query)
+    if XA is None and not (opt.flag & MEM_F_ALL):
+        from bwameme_tpu.align.alt import gen_alt
+
+        XA = gen_alt(opt, bns, text, regs, l_query, query)
     for k, p in enumerate(regs):
         if p.score < opt.T:
             continue

@@ -299,6 +299,13 @@ def sam_pe(opt, bns, text: np.ndarray, pes: list[PeStat], pair_id: int,
                             if a[i][j].secondary_all == k or j == k:
                                 a[i][j].secondary_all = z[i]
                         a[i][z[i]].secondary_all = -1
+                XA = [None, None]
+                if not (opt.flag & MEM_F_ALL):
+                    from bwameme_tpu.align.alt import gen_alt
+
+                    for i in range(2):
+                        XA[i] = gen_alt(opt, bns, text, a[i],
+                                        len(recs[i].codes), recs[i].codes)
                 h = [None, None]
                 aa = [[], []]
                 for i in range(2):
@@ -306,6 +313,7 @@ def sam_pe(opt, bns, text: np.ndarray, pes: list[PeStat], pair_id: int,
                                    recs[i].codes, a[i][z[i]])
                     h[i].mapq = q_se[i]
                     h[i].flag |= (0x40 << i) | extra_flag
+                    h[i].XA = XA[i][z[i]] if XA[i] else None
                     aa[i].append(h[i])
                     if n_pri[i] < len(a[i]):
                         p = a[i][n_pri[i]]
@@ -313,6 +321,7 @@ def sam_pe(opt, bns, text: np.ndarray, pes: list[PeStat], pair_id: int,
                             g = reg2aln(opt, bns, text, len(recs[i].codes),
                                         recs[i].codes, p)
                             g.flag |= 0x800 | (0x40 << i) | extra_flag
+                            g.XA = XA[i][n_pri[i]] if XA[i] else None
                             aa[i].append(g)
                 l0 = [aln2sam(opt, bns, recs[0], len(aa[0]), aa[0], i2, h[1], rg_id)
                       for i2 in range(len(aa[0]))]

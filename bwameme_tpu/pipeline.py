@@ -25,7 +25,7 @@ from bwameme_tpu.index.build import MemeIndex
 from bwameme_tpu.index.packing import NT4_TABLE
 from bwameme_tpu.io.fastq import Read
 from bwameme_tpu.seeding.host_engine import HostSeedingEngine
-from bwameme_tpu.utils.config import MEM_F_PRIMARY5, MemOptions
+from bwameme_tpu.utils.config import MEM_F_ALL, MEM_F_PRIMARY5, MemOptions
 
 
 @dataclasses.dataclass
@@ -91,8 +91,13 @@ class Aligner:
             regs = finalize.mark_primary(opt, regs, self.n_processed + li)
             if opt.flag & MEM_F_PRIMARY5:
                 finalize.reorder_primary5(opt.T, regs)
+            XA = None
+            if not (opt.flag & MEM_F_ALL):
+                from bwameme_tpu.align.alt import gen_alt
+
+                XA = gen_alt(opt, bns, text, regs, len(rec.codes), rec.codes)
             sam = finalize.reg2sam(opt, bns, text, rec, rec.codes, regs,
-                                   rg_id=self.rg_id)
+                                   rg_id=self.rg_id, XA=XA)
             out.append(sam)
         self.n_processed += len(reads)
         return out

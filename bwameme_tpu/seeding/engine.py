@@ -32,12 +32,16 @@ RIGHT_Z = 3  # right search in the zigzag (emits)
 
 
 class DeviceSeedingEngine:
-    def __init__(self, idx, opt, max_read_len: int = 512) -> None:
+    def __init__(self, idx, opt, max_read_len: int = 512,
+                 lanes: int = 1024) -> None:
         self.idx = idx
         self.opt = opt
         self.di = DeviceIndex.from_host(idx)
         self.fns = make_search_fns(self.di, max_read_words=(max_read_len // 16) + 2)
         self.max_read_len = max_read_len
+        # fixed lane count -> exactly one compilation per query kernel
+        # (shrinking active sets run with inert lanes; gathers are cheap)
+        self.lanes = lanes
         self._tr = self._build_third_round()
 
     # ------------------------------------------------------------- packing
@@ -62,11 +66,19 @@ class DeviceSeedingEngine:
         return jnp.asarray(qbuf), next_f, next_r
 
     def _query_batch(self, qbuf, rows, pivots, vs, min_intvs):
-        """One batched sa_query call; pads lanes to a power-of-two size."""
+        """One batched sa_query call at the engine's fixed lane count
+        (chunks transparently if the query list is larger)."""
         n = len(rows)
-        lanes = 1
-        while lanes < max(n, 64):
-            lanes <<= 1
+        if n > self.lanes:
+            outs = [
+                self._query_batch(qbuf, rows[i: i + self.lanes],
+                                  pivots[i: i + self.lanes],
+                                  vs[i: i + self.lanes],
+                                  min_intvs[i: i + self.lanes])
+                for i in range(0, n, self.lanes)
+            ]
+            return tuple(np.concatenate([o[k] for o in outs]) for k in range(3))
+        lanes = self.lanes
         row = np.zeros(lanes, np.int32)
         piv = np.zeros(lanes, np.int32)
         v = np.zeros(lanes, np.int32)  # v=0 -> inert lane
@@ -345,22 +357,29 @@ class DeviceSeedingEngine:
             if not rows:
                 break
             n = len(rows)
-            lanes = 1
-            while lanes < max(n, 64):
-                lanes <<= 1
-            row = np.zeros(lanes, np.int32)
-            piv = np.zeros(lanes, np.int32)
-            v = np.zeros(lanes, np.int32)
-            row[:n], piv[:n], v[:n] = rows, pivs, vs
-            emit, e_len, e_lb, e_cnt, advance = self._tr(
-                qbuf, jnp.asarray(row), jnp.asarray(piv), jnp.asarray(v),
-                jnp.int32(opt.max_mem_intv), jnp.int32(s),
-            )
-            emit = np.asarray(emit)[:n]
-            e_len = np.asarray(e_len)[:n]
-            e_lb = np.asarray(e_lb)[:n]
-            e_cnt = np.asarray(e_cnt)[:n]
-            advance = np.asarray(advance)[:n]
+            lanes = self.lanes
+            emit = np.zeros(n, bool)
+            e_len = np.zeros(n, np.int64)
+            e_lb = np.zeros(n, np.int64)
+            e_cnt = np.zeros(n, np.int64)
+            advance = np.zeros(n, np.int64)
+            for off in range(0, n, lanes):
+                m = min(lanes, n - off)
+                row = np.zeros(lanes, np.int32)
+                piv = np.zeros(lanes, np.int32)
+                v = np.zeros(lanes, np.int32)
+                row[:m] = rows[off: off + m]
+                piv[:m] = pivs[off: off + m]
+                v[:m] = vs[off: off + m]
+                em, el, elb, ec, adv = self._tr(
+                    qbuf, jnp.asarray(row), jnp.asarray(piv), jnp.asarray(v),
+                    jnp.int32(opt.max_mem_intv), jnp.int32(s),
+                )
+                emit[off: off + m] = np.asarray(em)[:m]
+                e_len[off: off + m] = np.asarray(el)[:m]
+                e_lb[off: off + m] = np.asarray(elb)[:m]
+                e_cnt[off: off + m] = np.asarray(ec)[:m]
+                advance[off: off + m] = np.asarray(adv)[:m]
             for k, i in enumerate(targets):
                 piv_i = int(pvs[i])
                 if emit[k]:

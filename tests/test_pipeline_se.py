@@ -177,3 +177,31 @@ def test_pipeline_with_device_engine(setup):
     sam_dev = dev_aligner.align_batch(reads)
     sam_host = host_aligner.align_batch(reads)
     assert sam_dev == sam_host
+
+
+def test_xa_tag_on_duplicated_region(setup):
+    idx, aligner, rng = setup
+    # create a read from a region duplicated in the reference? synthetic ref
+    # has no exact dups, so build a tiny two-copy reference here
+    from bwameme_tpu.index import bntseq as bmod
+    from bwameme_tpu.index.build import build_index as bld
+
+    rng2 = np.random.default_rng(55)
+    seg = rng2.integers(0, 4, 500).astype(np.uint8)
+    filler = rng2.integers(0, 4, 2000).astype(np.uint8)
+    code = np.concatenate([seg, filler, seg, filler[:500]])
+    bns = bmod.BntSeq(l_pac=len(code),
+                      contigs=[bmod.Contig("dup", "", 0, len(code), 0)],
+                      ambs=[], code=code)
+    idx2 = bld(bns, rmi_bits=8)
+    al = Aligner(idx2)
+    read = Read("dupread", "".join("ACGT"[c] for c in seg[100:200]), "I" * 100, None)
+    [sam] = al.align_batch([read])
+    [r] = _parse(sam)
+    assert r["mapq"] == 0  # two equally good hits
+    assert "XA" in r["tags"], r
+    # XA names the other copy
+    assert r["tags"]["XA"].count(";") == 1
+    other_pos = int(r["tags"]["XA"].split(",")[1])
+    positions = sorted([r["pos"], abs(other_pos)])
+    assert positions == [101, 2601], (positions, r)
