@@ -15,12 +15,21 @@ import os
 import sys
 import time
 
+# persistent compilation cache: TPU (remote) compiles of the search kernels
+# are expensive; cache them across bench runs
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
+                 "jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 import numpy as np
 
 REF_MBP = float(os.environ.get("BWAMEME_BENCH_MBP", "8"))
-N_READS = int(os.environ.get("BWAMEME_BENCH_READS", "2048"))
+N_READS = int(os.environ.get("BWAMEME_BENCH_READS", "4096"))
 READ_LEN = 151
-BATCH = int(os.environ.get("BWAMEME_BENCH_BATCH", "512"))
+BATCH = int(os.environ.get("BWAMEME_BENCH_BATCH", "2048"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 

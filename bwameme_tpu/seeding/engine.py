@@ -43,6 +43,10 @@ class DeviceSeedingEngine:
         # (shrinking active sets run with inert lanes; gathers are cheap)
         self.lanes = lanes
         self._tr = self._build_third_round()
+        self._fused_step1 = self._build_fused_step1()
+        self._fused_step3 = self._build_fused_step3()
+        self.max_smems = 96  # per-read emission capacity in the fused kernels
+        self.use_fused = True
 
     # ------------------------------------------------------------- packing
     def _prepare(self, codes_list: list[np.ndarray]):
@@ -64,6 +68,46 @@ class DeviceSeedingEngine:
             next_f.append(HostSeedingEngine._next_n(c))
             next_r.append(HostSeedingEngine._next_n(rc))
         return jnp.asarray(qbuf), next_f, next_r
+
+    @staticmethod
+    def _next_valid(codes: np.ndarray) -> np.ndarray:
+        """nv[i] = smallest j >= i with codes[j] < 4, else len."""
+        l = len(codes)
+        out = np.empty(l + 1, dtype=np.int32)
+        out[l] = l
+        nxt = l
+        for i in range(l - 1, -1, -1):
+            if codes[i] < 4:
+                nxt = i
+            out[i] = nxt
+        return out
+
+    def _prepare_fused(self, codes_list: list[np.ndarray]):
+        """Device tensors for the fused kernels: padded next-N / next-valid
+        tables for forward and RC reads + lengths."""
+        R = len(codes_list)
+        maxlen = max((len(c) for c in codes_list), default=1)
+        Lp = maxlen + 1
+        nf = np.zeros((R, Lp), np.int32)
+        nr = np.zeros((R, Lp), np.int32)
+        nvf = np.zeros((R, Lp), np.int32)
+        lens = np.zeros(R, np.int32)
+        for i, codes in enumerate(codes_list):
+            c = np.minimum(codes, 4)
+            rc = np.where(c < 4, 3 - c, c)[::-1]
+            l = len(c)
+            lens[i] = l
+            a = HostSeedingEngine._next_n(c)
+            b = HostSeedingEngine._next_n(rc)
+            nf[i, : l + 1] = a
+            nf[i, l + 1:] = l
+            nr[i, : l + 1] = b
+            nr[i, l + 1:] = l
+            nv = self._next_valid(c)
+            nvf[i, : l + 1] = nv
+            nvf[i, l + 1:] = l
+        return (jnp.asarray(nf), jnp.asarray(nr), jnp.asarray(nvf),
+                jnp.asarray(lens))
 
     def _query_batch(self, qbuf, rows, pivots, vs, min_intvs):
         """One batched sa_query call at the engine's fixed lane count
@@ -92,6 +136,49 @@ class DeviceSeedingEngine:
 
     # -------------------------------------------------------- steps 1 and 2
     def collect_smems_batch(self, codes_list: list[np.ndarray]) -> list[list[Smem]]:
+        if self.use_fused:
+            return self._collect_fused(codes_list)
+        return self._collect_hostdriven(codes_list)
+
+    def _collect_fused(self, codes_list: list[np.ndarray]) -> list[list[Smem]]:
+        """Fused path: one device dispatch for step 1, a short host-driven
+        loop for the (rare) step-2 reseeds, one dispatch for step 3."""
+        opt = self.opt
+        R = len(codes_list)
+        M = self.max_smems
+        qbuf, next_f, next_r = self._prepare(codes_list)
+        nf, nr, nvf, lens = self._prepare_fused(codes_list)
+        starts, ends, lbs, cnts, nsm = self._fused_step1(
+            qbuf, nf, nr, nvf, lens, jnp.int32(opt.min_seed_len), M=M
+        )
+        starts = np.asarray(starts)
+        ends = np.asarray(ends)
+        lbs = np.asarray(lbs)
+        cnts = np.asarray(cnts)
+        nsm = np.asarray(nsm)
+        smems: list[list[Smem]] = []
+        for i in range(R):
+            smems.append([
+                Smem(int(starts[i, k]), int(ends[i, k]), int(lbs[i, k]),
+                     int(cnts[i, k]))
+                for k in range(int(nsm[i]))
+            ])
+        self._step2_host(qbuf, codes_list, next_f, next_r, smems)
+        if opt.max_mem_intv > 0:
+            s3 = self._fused_step3(
+                qbuf, nf, lens, jnp.int32(opt.max_mem_intv),
+                jnp.int32(opt.min_seed_len + 1), M=M,
+            )
+            st3, en3, lb3, cn3, ns3 = (np.asarray(x) for x in s3)
+            for i in range(R):
+                for k in range(int(ns3[i])):
+                    smems[i].append(
+                        Smem(int(st3[i, k]), int(en3[i, k]), int(lb3[i, k]),
+                             int(cn3[i, k]))
+                    )
+        return smems
+
+    def _collect_hostdriven(self, codes_list: list[np.ndarray]) -> list[list[Smem]]:
         opt = self.opt
         R = len(codes_list)
         qbuf, next_f, next_r = self._prepare(codes_list)
@@ -192,7 +279,21 @@ class DeviceSeedingEngine:
                         smems[i].append(Smem(pi, pi + m, int(lb[k]), int(cnt[k])))
                     enter_outer(i, pi + max(m, 1))
 
-        # ---- step 2: reseeding (OnePos machines per qualifying SMEM)
+        self._step2_host(qbuf, codes_list, next_f, next_r, smems)
+
+        # ---- step 3: bwt seed strategy
+        if opt.max_mem_intv > 0:
+            self._third_round_batch(qbuf, codes_list, next_f, smems)
+
+        return smems
+
+    def _step2_host(self, qbuf, codes_list, next_f, next_r, smems) -> None:
+        """Step-2 reseeding (OnePos machines per qualifying SMEM); host-driven
+        batched rounds (reseeds are rare, a handful of rounds per batch)."""
+        opt = self.opt
+        R = len(codes_list)
+        lens = [len(c) for c in codes_list]
+        minseed = opt.min_seed_len
         split_len = opt.split_len
         jobs = []  # (read_i, phase, p, next_pivot, min_intv)
         for i in range(R):
@@ -249,18 +350,207 @@ class DeviceSeedingEngine:
                         smems[i].append(Smem(piv, piv + m, int(lb[k]), int(cnt[k])))
             jobs = nxt
 
-        # ---- step 3: bwt seed strategy
-        if opt.max_mem_intv > 0:
-            self._third_round_batch(qbuf, codes_list, next_f, smems)
+    # ------------------------------------------------- fused device kernels
+    def _build_fused_step1(self):
+        """The whole step-1 zigzag sweep for a read batch as ONE device
+        program: per-lane state machine (RIGHT0/LEFT/RIGHT_Z phases, N skips
+        in closed form from next-N/next-valid tables) iterated by a single
+        lax.while_loop around the sa_query body. Replaces ~2x(#SMEMs) host
+        round-trips per batch with one dispatch."""
+        fns = self.fns
 
-        return smems
+        def fused(qbuf, nf, nr, nvf, lens, minseed, M):
+            R, Lp = nf.shape
+            lane = jnp.arange(R, dtype=jnp.int32)
+            nf_f = nf.reshape(-1)
+            nr_f = nr.reshape(-1)
+            nvf_f = nvf.reshape(-1)
+
+            def tab(tf, pos):
+                return jnp.take(tf, lane * Lp + jnp.clip(pos, 0, Lp - 1),
+                                mode="clip")
+
+            def is_n_f(pos):
+                return tab(nf_f, pos) == pos
+
+            def skip_ns(pivot):
+                """Closed form of the outer/inner N-skip loop: returns
+                (done, new_pivot)."""
+                l = lens
+                q = tab(nvf_f, pivot)
+                thresh = l - minseed + 1
+                done_n = (q > pivot) & (q - 1 >= thresh)
+                done = (pivot >= l) | done_n | (q >= l)
+                return done, q
+
+            def enter_outer(pivot):
+                done, q = skip_ns(pivot)
+                prev_valid = (q != 0) & (~is_n_f(q - 1))
+                phase = jnp.where(
+                    done, DONE, jnp.where(prev_valid, LEFT, RIGHT0)
+                ).astype(jnp.int32)
+                return phase, q, q
+
+            def zigzag_continue(pnew):
+                done, q = skip_ns(pnew)
+                phase = jnp.where(done, DONE, LEFT).astype(jnp.int32)
+                return phase, q, q
+
+            phase0, p0, spb0 = enter_outer(jnp.zeros(R, jnp.int32))
+            phase0 = jnp.where(lens < minseed, DONE, phase0)
+            st0 = dict(
+                phase=phase0, p=p0, spb=spb0,
+                nsm=jnp.zeros(R, jnp.int32),
+                starts=jnp.zeros((R, M + 1), jnp.int32),
+                ends=jnp.zeros((R, M + 1), jnp.int32),
+                lbs=jnp.zeros((R, M + 1), jnp.int32),
+                cnts=jnp.zeros((R, M + 1), jnp.int32),
+            )
+
+            def cond(st):
+                return jnp.any(st["phase"] != DONE)
+
+            def body(st):
+                phase, p, spb = st["phase"], st["p"], st["spb"]
+                active = phase != DONE
+                is_left = phase == LEFT
+                l = lens
+                lp = l - 1 - p
+                row = jnp.where(is_left, R + lane, lane)
+                v_raw = jnp.where(is_left, tab(nr_f, lp) - lp, tab(nf_f, p) - p)
+                piv_q = jnp.where(is_left, lp, p)
+                v = jnp.where(active, v_raw, 0).astype(jnp.int32)
+                mlen, lb, cnt = fns["sa_query"](
+                    qbuf, row, piv_q, v, jnp.ones(R, jnp.int32)
+                )
+                # emissions (RIGHT phases only)
+                is_r = active & ((phase == RIGHT_Z) | (phase == RIGHT0))
+                emit = is_r & (mlen >= minseed)
+                slot = jnp.where(emit & (st["nsm"] < M), st["nsm"], M)
+                starts = st["starts"].at[lane, slot].set(p.astype(jnp.int32))
+                ends = st["ends"].at[lane, slot].set((p + mlen).astype(jnp.int32))
+                lbs = st["lbs"].at[lane, slot].set(lb.astype(jnp.int32))
+                cnts = st["cnts"].at[lane, slot].set(cnt.astype(jnp.int32))
+                nsm = st["nsm"] + (emit & (st["nsm"] < M))
+
+                # transitions
+                # LEFT -> RIGHT_Z (or done when remaining window too short)
+                p2 = p - mlen + 1
+                phL = jnp.where(l - p2 < minseed, DONE, RIGHT_Z).astype(jnp.int32)
+                # RIGHT_Z -> zigzag continue (with progress guard)
+                sp = p + mlen
+                sp = jnp.where(sp <= spb, spb + 1, sp)
+                phZ, pZ, spbZ = zigzag_continue(sp)
+                # RIGHT0 -> outer re-entry
+                piv2 = p + jnp.maximum(mlen, 1)
+                ph0, p0_, spb0_ = enter_outer(piv2)
+
+                new_phase = jnp.where(
+                    is_left, phL,
+                    jnp.where(phase == RIGHT_Z, phZ,
+                              jnp.where(phase == RIGHT0, ph0, DONE)),
+                )
+                new_p = jnp.where(
+                    is_left, p2,
+                    jnp.where(phase == RIGHT_Z, pZ,
+                              jnp.where(phase == RIGHT0, p0_, p)),
+                )
+                new_spb = jnp.where(
+                    phase == RIGHT_Z, spbZ,
+                    jnp.where(phase == RIGHT0, spb0_, spb),
+                )
+                keep = active
+                return dict(
+                    phase=jnp.where(keep, new_phase, phase),
+                    p=jnp.where(keep, new_p, p),
+                    spb=jnp.where(keep, new_spb, spb),
+                    nsm=nsm, starts=starts, ends=ends, lbs=lbs, cnts=cnts,
+                )
+
+            st = jax.lax.while_loop(cond, body, st0)
+            return st["starts"], st["ends"], st["lbs"], st["cnts"], st["nsm"]
+
+        return jax.jit(fused, static_argnames=("M",))
+
+    def _build_fused_step3(self):
+        """Fused third round: per-read pivot sweep (closed-form skips) around
+        the third_round level-walk body, as one device program."""
+        fns = self.fns
+        tr_core = self._tr_core
+
+        def fused(qbuf, nf, lens, min_intv, min_seed, M):
+            R, Lp = nf.shape
+            lane = jnp.arange(R, dtype=jnp.int32)
+            nf_f = nf.reshape(-1)
+
+            def tab(pos):
+                return jnp.take(nf_f, lane * Lp + jnp.clip(pos, 0, Lp - 1),
+                                mode="clip")
+
+            def resolve_skips(pv, done):
+                """Advance past N pivots and short valid windows (reference:
+                src/LearnedIndex_seeding.cpp:1007-1012, 997-999)."""
+
+                def cond(st):
+                    pv, done = st
+                    v = tab(pv) - pv
+                    need = (~done) & (pv < lens - min_seed + 1) & (v < min_seed)
+                    return jnp.any(need)
+
+                def bdy(st):
+                    pv, done = st
+                    done = done | (pv >= lens - min_seed + 1)
+                    v = tab(pv) - pv
+                    need = (~done) & (v < min_seed)
+                    adv = jnp.maximum(v, 1)
+                    return jnp.where(need, pv + adv, pv), done
+
+                pv, done = jax.lax.while_loop(cond, bdy, (pv, done))
+                done = done | (pv >= lens - min_seed + 1)
+                return pv, done
+
+            pv0, done0 = resolve_skips(jnp.zeros(R, jnp.int32),
+                                       lens - min_seed + 1 <= 0)
+            st0 = dict(
+                pv=pv0, done=done0,
+                nsm=jnp.zeros(R, jnp.int32),
+                starts=jnp.zeros((R, M + 1), jnp.int32),
+                ends=jnp.zeros((R, M + 1), jnp.int32),
+                lbs=jnp.zeros((R, M + 1), jnp.int32),
+                cnts=jnp.zeros((R, M + 1), jnp.int32),
+            )
+
+            def cond(st):
+                return jnp.any(~st["done"])
+
+            def body(st):
+                pv, done = st["pv"], st["done"]
+                v = jnp.where(done, 0, tab(pv) - pv).astype(jnp.int32)
+                emit, e_len, e_lb, e_cnt, advance = tr_core(
+                    qbuf, lane, pv, v, min_intv, min_seed
+                )
+                emit = emit & (~done)
+                slot = jnp.where(emit & (st["nsm"] < M), st["nsm"], M)
+                starts = st["starts"].at[lane, slot].set(pv)
+                ends = st["ends"].at[lane, slot].set(pv + e_len.astype(jnp.int32))
+                lbs = st["lbs"].at[lane, slot].set(e_lb.astype(jnp.int32))
+                cnts = st["cnts"].at[lane, slot].set(e_cnt.astype(jnp.int32))
+                nsm = st["nsm"] + (emit & (st["nsm"] < M))
+                pv2 = jnp.where(done, pv, pv + jnp.maximum(advance, 1).astype(jnp.int32))
+                pv2, done2 = resolve_skips(pv2, done)
+                return dict(pv=pv2, done=done2, nsm=nsm, starts=starts,
+                            ends=ends, lbs=lbs, cnts=cnts)
+
+            st = jax.lax.while_loop(cond, body, st0)
+            return st["starts"], st["ends"], st["lbs"], st["cnts"], st["nsm"]
+
+        return jax.jit(fused, static_argnames=("M",))
 
     # ------------------------------------------------------------- round 3
     def _build_third_round(self):
         fns = self.fns
         n_sa = self.di.n_sa
 
-        @jax.jit
         def third_round(qbuf32, row, pivot, v, min_intv, min_seed):
             lmax, _ = fns["find_longest"](qbuf32, row, pivot, jnp.maximum(v, 1))
             lmax = jnp.where(v <= 0, 0, lmax)
@@ -319,7 +609,8 @@ class DeviceSeedingEngine:
              e_cnt, advance) = st
             return emit, e_len, e_lb, e_cnt, advance
 
-        return third_round
+        self._tr_core = third_round
+        return jax.jit(third_round)
 
     def _third_round_batch(self, qbuf, codes_list, next_f, smems) -> None:
         opt = self.opt
