@@ -154,7 +154,8 @@ def matesw(opt, bns, text: np.ndarray, pes: list[PeStat], a: AlnReg,
         if a.rid == rid and re - rb >= opt.min_seed_len:
             ref = text[rb:re]
             aln = sw_align(np.minimum(seq, 4), ref, opt.mat, opt.o_del,
-                           opt.e_del, opt.o_ins, opt.e_ins, xtra_start=True)
+                           opt.e_del, opt.o_ins, opt.e_ins, xtra_start=True,
+                           min_sc=opt.min_seed_len * opt.a)
             if aln.score >= opt.min_seed_len and aln.qb >= 0:
                 b = AlnReg()
                 b.rid = a.rid

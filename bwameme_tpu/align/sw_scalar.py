@@ -262,20 +262,26 @@ def sw_align(
     mat: np.ndarray,
     o_del: int, e_del: int, o_ins: int, e_ins: int,
     xtra_start: bool = True,
+    min_sc: int | None = None,
 ) -> AlignResult:
     """Local SW with best/2nd-best scores and, with xtra_start, the start
-    coordinates of the best alignment (ksw_align2 XSTART semantics).
+    coordinates of the best alignment (ksw_align2 XSTART|XSUBO semantics,
+    reference: src/ksw.cpp:236-383).
 
-    score2/te2 track the best score outside a window of |te - x| > (len/2)
-    around the primary hit, matching kswv (reference: src/kswv.h:101-106).
+    Recurrences follow ksw: H = max(H_diag+S, E, F, 0); gap chains branch off
+    H with 0-saturation. (We use the exact F fixpoint rather than the striped
+    lazy-F approximation of E; identical except exotic I-adjacent-D cases.)
+    score2/te2 = best row maximum outside te ± ceil(score/max_match), only
+    counting rows whose max >= min_sc (the XSUBO threshold).
     """
     qlen, tlen = len(query), len(target)
     oe_del, oe_ins = o_del + e_del, o_ins + e_ins
+    min_sc = min_sc if min_sc is not None else 0
     h_prev = np.zeros(qlen + 1, dtype=np.int64)
     e_col = np.zeros(qlen + 1, dtype=np.int64)
-    best, bte, bqe = 0, -1, -1
-    # second best per target row (simplified kswv low-res tracking)
-    row_best = np.zeros(tlen, dtype=np.int64)
+    gmax, te = 0, -1
+    hmax_row = np.zeros(qlen + 1, dtype=np.int64)
+    row_best = np.zeros(max(tlen, 1), dtype=np.int64)
     for i in range(tlen):
         f = 0
         h_cur = np.zeros(qlen + 1, dtype=np.int64)
@@ -283,43 +289,33 @@ def sw_align(
         for j in range(1, qlen + 1):
             M = h_prev[j - 1] + int(q[query[j - 1]])
             e = e_col[j]
-            h = max(M, e, f, 0)
+            h = max(M, e, f)
             h_cur[j] = h
-            e_col[j] = max(M - oe_del, e - e_del)
-            f = max(M - oe_ins, f - e_ins)
-            if h > best:
-                best, bte, bqe = h, i, j - 1
+            e_col[j] = max(max(e - e_del, 0), max(h - oe_del, 0))
+            f = max(max(f - e_ins, 0), max(h - oe_ins, 0))
         row_best[i] = h_cur.max()
+        if row_best[i] > gmax:
+            gmax = int(row_best[i])
+            te = i
+            hmax_row = h_cur.copy()
         h_prev = h_cur
-    # second best: best row-score at distance > min(qlen,tlen)/2... use qlen/2
-    # window like ksw's XSUBO low half
+    # qe: smallest column attaining the max in the te row
+    bqe = -1
+    if te >= 0:
+        bqe = int(np.flatnonzero(hmax_row == gmax)[0]) - 1
+    # second best outside the te window
     score2, te2 = 0, -1
-    half = len(query) // 2
-    for i in range(tlen):
-        if bte >= 0 and abs(i - bte) > half and row_best[i] > score2:
-            score2, te2 = int(row_best[i]), i
-    if best == 0 or not xtra_start:
-        return AlignResult(int(best), bte, bqe, score2, te2, -1, -1)
-    # find start by reverse alignment of the prefixes
-    rq = query[: bqe + 1][::-1]
-    rt = target[: bte + 1][::-1]
-    h_prev = np.zeros(len(rq) + 1, dtype=np.int64)
-    e_col = np.zeros(len(rq) + 1, dtype=np.int64)
-    gbest, gti, gqj = 0, -1, -1
-    for i in range(len(rt)):
-        f = 0
-        h_cur = np.zeros(len(rq) + 1, dtype=np.int64)
-        q = mat[rt[i]]
-        for j in range(1, len(rq) + 1):
-            M = h_prev[j - 1] + int(q[rq[j - 1]])
-            e = e_col[j]
-            h = max(M, e, f, 0)
-            h_cur[j] = h
-            e_col[j] = max(M - oe_del, e - e_del)
-            f = max(M - oe_ins, f - e_ins)
-            if h > gbest:
-                gbest, gti, gqj = h, i, j - 1
-        h_prev = h_cur
-    tb = bte - gti
-    qb = bqe - gqj
-    return AlignResult(int(best), bte, bqe, score2, te2, tb, qb)
+    if te >= 0 and tlen:
+        mx = int(mat.max())
+        rad = (gmax + mx - 1) // mx
+        for i in range(tlen):
+            if (i < te - rad or i > te + rad) and row_best[i] >= min_sc and row_best[i] > score2:
+                score2, te2 = int(row_best[i]), i
+    if gmax == 0 or not xtra_start:
+        return AlignResult(int(gmax), te, bqe, score2, te2, -1, -1)
+    # find start by the reverse pass on the prefixes
+    rev = sw_align(query[: bqe + 1][::-1], target[: te + 1][::-1], mat,
+                   o_del, e_del, o_ins, e_ins, xtra_start=False)
+    tb = te - rev.te
+    qb = bqe - rev.qe
+    return AlignResult(int(gmax), te, bqe, score2, te2, tb, qb)
