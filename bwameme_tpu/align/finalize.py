@@ -77,8 +77,15 @@ def gen_cigar(opt, bns, text: np.ndarray, w: int, query_seg: np.ndarray,
         ww = min(ww, w)
         min_w = abs(rlen - l_query) + 3
         ww = max(ww, min_w)
-        score, cigar = sw_global(q, rseq, opt.mat, opt.o_del, opt.e_del,
-                                 opt.o_ins, opt.e_ins, ww)
+        from bwameme_tpu.align.native import sw_global_native
+
+        res = sw_global_native(q, rseq, opt.mat, opt.o_del, opt.e_del,
+                               opt.o_ins, opt.e_ins, ww)
+        if res is not None:
+            score, cigar = res
+        else:
+            score, cigar = sw_global(q, rseq, opt.mat, opt.o_del, opt.e_del,
+                                     opt.o_ins, opt.e_ins, ww)
     # NM / MD
     int2base = "ACGTN" if rb < l_pac else "TGCAN"
     md = []
