@@ -309,6 +309,18 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40):
         return l
 
     @jax.jit
+    def sa_query_min1(qbuf32, row, pivot, v):
+        """sa_query specialized to min_intv == 1 (every step-1 query): the
+        widening loop degenerates to a single interval evaluation, removing
+        one while-loop nesting level from the fused seeding program."""
+        mlen, _ = find_longest(qbuf32, row, pivot, jnp.maximum(v, 1))
+        mlen = jnp.where(v <= 0, 0, mlen)
+        lb, cnt = interval_at(qbuf32, row, pivot, jnp.maximum(mlen, 1))
+        lb = jnp.where(mlen == 0, 0, lb)
+        cnt = jnp.where(mlen == 0, n_sa, cnt)
+        return mlen, lb, cnt
+
+    @jax.jit
     def sa_query(qbuf32, row, pivot, v, min_intv):
         """The widening fixed point: longest l with interval count >= min_intv.
         Returns (l, lb, cnt). v==0 lanes are inert (return 0,0,n_sa)."""
@@ -348,4 +360,5 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40):
         interval_at=interval_at,
         lcp_at=lcp_at,
         sa_query=sa_query,
+        sa_query_min1=sa_query_min1,
     )

@@ -420,9 +420,7 @@ class DeviceSeedingEngine:
                 v_raw = jnp.where(is_left, tab(nr_f, lp) - lp, tab(nf_f, p) - p)
                 piv_q = jnp.where(is_left, lp, p)
                 v = jnp.where(active, v_raw, 0).astype(jnp.int32)
-                mlen, lb, cnt = fns["sa_query"](
-                    qbuf, row, piv_q, v, jnp.ones(R, jnp.int32)
-                )
+                mlen, lb, cnt = fns["sa_query_min1"](qbuf, row, piv_q, v)
                 # emissions (RIGHT phases only)
                 is_r = active & ((phase == RIGHT_Z) | (phase == RIGHT0))
                 emit = is_r & (mlen >= minseed)
