@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("-5", dest="primary5", action="store_true",
                     help="always take the leftmost alignment as primary")
     pm.add_argument("--engine", choices=["device", "host"], default="device")
+    pm.add_argument("-7", dest="learned", action="store_true",
+                    help="use the learned (P-RMI) seeding backend (default)")
+    pm.add_argument("--backend", choices=["learned", "fmi"], default="learned",
+                    help="seeding backend: learned index (P-RMI, the -7 "
+                    "path) or FM-index (the reference's default backend)")
     pm.add_argument("--batch", type=int, default=512,
                     help="reads per device batch")
     return p
@@ -104,7 +109,14 @@ def cmd_mem(args) -> int:
     with timer.stage("index_load"):
         idx = load_index(args.prefix)
     engine = None
-    if args.engine == "device":
+    if args.backend == "fmi":
+        from bwameme_tpu.seeding.fmi_engine import FmiDeviceEngine, FmiHostEngine
+
+        if args.engine == "device":
+            engine = FmiDeviceEngine(idx, opt)
+        else:
+            engine = FmiHostEngine(idx, opt)
+    elif args.engine == "device":
         from bwameme_tpu.seeding.engine import DeviceSeedingEngine
 
         engine = DeviceSeedingEngine(idx, opt)

@@ -64,12 +64,13 @@ class Aligner:
         bns = idx.bns
         text = idx.text
         recs = [self._encode(r) for r in reads]
+        sa_pos = getattr(self.engine, "sa_positions", idx.sa)
 
         # kernel 1: seeds -> chains
         smems_per_read = self.collect_smems(recs)
         chains_per_read = []
         for rec, smems in zip(recs, smems_per_read):
-            chains = chain_mod.chain_seeds(opt, bns, len(rec.codes), smems, idx.sa)
+            chains = chain_mod.chain_seeds(opt, bns, len(rec.codes), smems, sa_pos)
             chains = chain_mod.filter_chains(opt, chains)
             chain_mod.filter_chained_seeds(opt, bns, text, rec.codes,
                                            len(rec.codes), chains)
@@ -114,11 +115,12 @@ class Aligner:
         bns = idx.bns
         text = idx.text
         recs = [self._encode(r) for r in reads]
+        sa_pos = getattr(self.engine, "sa_positions", idx.sa)
 
         smems_per_read = self.collect_smems(recs)
         chains_per_read = []
         for rec, smems in zip(recs, smems_per_read):
-            chains = chain_mod.chain_seeds(opt, bns, len(rec.codes), smems, idx.sa)
+            chains = chain_mod.chain_seeds(opt, bns, len(rec.codes), smems, sa_pos)
             chains = chain_mod.filter_chains(opt, chains)
             chain_mod.filter_chained_seeds(opt, bns, text, rec.codes,
                                            len(rec.codes), chains)
