@@ -55,9 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("--engine", choices=["device", "host"], default="device")
     pm.add_argument("-7", dest="learned", action="store_true",
                     help="use the learned (P-RMI) seeding backend (default)")
-    pm.add_argument("--backend", choices=["learned", "fmi"], default="learned",
+    pm.add_argument("-Z", dest="ert", action="store_true",
+                    help="use the ERT (k-mer-root) seeding backend")
+    pm.add_argument("--backend", choices=["learned", "fmi", "ert"],
+                    default="learned",
                     help="seeding backend: learned index (P-RMI, the -7 "
-                    "path) or FM-index (the reference's default backend)")
+                    "path), FM-index (the reference's default backend), or "
+                    "ERT (k-mer-root, the -Z path)")
     pm.add_argument("--batch", type=int, default=512,
                     help="reads per device batch")
     return p
@@ -109,7 +113,13 @@ def cmd_mem(args) -> int:
     with timer.stage("index_load"):
         idx = load_index(args.prefix)
     engine = None
-    if args.backend == "fmi":
+    if args.ert:
+        args.backend = "ert"
+    if args.backend == "ert":
+        from bwameme_tpu.seeding.engine import DeviceSeedingEngine
+
+        engine = DeviceSeedingEngine(idx, opt, root="kmer")
+    elif args.backend == "fmi":
         from bwameme_tpu.seeding.fmi_engine import FmiDeviceEngine, FmiHostEngine
 
         if args.engine == "device":

@@ -55,9 +55,18 @@ class DeviceIndex:
     bits: int              # static
     n_sa: int              # static
     isa: jax.Array | None = None  # int32[N] inverse SA (MODE3)
+    kmer_table: jax.Array | None = None  # int32[4^kb+1] ERT root (see index/ert.py)
+    kmer_bits: int = 0
 
     @staticmethod
-    def from_host(idx) -> "DeviceIndex":
+    def from_host(idx, ert_bits: int | None = None) -> "DeviceIndex":
+        kmer_table = None
+        kmer_bits = 0
+        if ert_bits is not None:
+            from bwameme_tpu.index.ert import build_kmer_table, pick_ert_bits
+
+            kmer_bits = ert_bits if ert_bits > 0 else pick_ert_bits(idx.n_sa)
+            kmer_table = jnp.asarray(build_kmer_table(idx.key_hi, kmer_bits))
         return DeviceIndex(
             text32=jnp.asarray(idx.text32, dtype=jnp.uint32),
             sa=jnp.asarray(idx.sa, dtype=jnp.int32),
@@ -71,6 +80,8 @@ class DeviceIndex:
             bits=int(idx.rmi_bits),
             n_sa=int(idx.n_sa),
             isa=jnp.asarray(idx.isa, dtype=jnp.int32) if idx.isa is not None else None,
+            kmer_table=kmer_table,
+            kmer_bits=kmer_bits,
         )
 
 def _gather_words3(buf: jax.Array, word_idx: jax.Array):
@@ -169,8 +180,15 @@ def compare_keys(khi, klo, skhi, sklo, v, need_lcp=True):
     return less, lcp, resolved
 
 
-def make_search_fns(di: DeviceIndex, max_read_words: int = 40):
-    """Build jitted search primitives closed over the device index."""
+def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
+                    root: str = "prmi"):
+    """Build jitted search primitives closed over the device index.
+
+    root="prmi": initial window from the learned-index model (the -7 path).
+    root="kmer": initial window from the ERT k-mer root table — one gather
+    per (padded) key; the insertion point of any key lies inside its k-mer
+    prefix block by construction (see index/ert.py).
+    """
     text32 = di.text32
     sa = di.sa
     key_hi = di.key_hi
@@ -180,7 +198,13 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40):
     shift = jnp.uint32(32 - bits)
     rel_mask = jnp.uint32((1 << (32 - bits)) - 1) if bits < 32 else jnp.uint32(0)
 
-    def rmi_window(khi, klo):
+    def kmer_window(khi, klo):
+        m = (khi >> jnp.uint32(32 - 2 * di.kmer_bits)).astype(jnp.int32)
+        lo = jnp.take(di.kmer_table, m, mode="clip")
+        hi = jnp.take(di.kmer_table, m + 1, mode="clip")
+        return lo, hi
+
+    def prmi_window(khi, klo):
         leaf = (khi >> shift).astype(jnp.int32)
         rel = (khi & rel_mask).astype(jnp.float32) * jnp.float32(4294967296.0) \
             + klo.astype(jnp.float32)
@@ -196,6 +220,8 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40):
         lo = jnp.maximum(pred - jnp.take(di.err_lo, leaf, mode="clip"), 0)
         hi = jnp.minimum(pred + jnp.take(di.err_hi, leaf, mode="clip"), n_sa)
         return lo, hi
+
+    rmi_window = kmer_window if root == "kmer" else prmi_window
 
     def deep_cmp(qbuf32, row, pivot, v, sa_idx, base_lcp, base_less, resolved):
         """Continue comparison beyond 32 bases, 16-base chunks."""

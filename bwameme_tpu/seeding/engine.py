@@ -33,11 +33,16 @@ RIGHT_Z = 3  # right search in the zigzag (emits)
 
 class DeviceSeedingEngine:
     def __init__(self, idx, opt, max_read_len: int = 512,
-                 lanes: int = 1024) -> None:
+                 lanes: int = 1024, root: str = "prmi",
+                 ert_bits: int = 0) -> None:
+        """root="prmi" (learned index, the -7 path) or "kmer" (the ERT
+        backend: direct k-mer-root window, see index/ert.py)."""
         self.idx = idx
         self.opt = opt
-        self.di = DeviceIndex.from_host(idx)
-        self.fns = make_search_fns(self.di, max_read_words=(max_read_len // 16) + 2)
+        self.di = DeviceIndex.from_host(
+            idx, ert_bits=(ert_bits if root == "kmer" else None))
+        self.fns = make_search_fns(
+            self.di, max_read_words=(max_read_len // 16) + 2, root=root)
         self.max_read_len = max_read_len
         # fixed lane count -> exactly one compilation per query kernel
         # (shrinking active sets run with inert lanes; gathers are cheap)
