@@ -78,17 +78,31 @@ def make_reads(idx, rng):
     return reads
 
 
+def _log(msg):
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
+    import jax
+
+    from bwameme_tpu.utils.compile_cache import enable_persistent_cache
+
+    cache = enable_persistent_cache(os.environ["JAX_COMPILATION_CACHE_DIR"])
+    _log(f"compile cache: {cache}")
+
     from bwameme_tpu.seeding.engine import DeviceSeedingEngine
     from bwameme_tpu.seeding.host_engine import HostSeedingEngine
     from bwameme_tpu.utils.config import MemOptions
 
+    _log("loading index")
     idx = get_index()
     opt = MemOptions()
     rng = np.random.default_rng(7)
     reads = make_reads(idx, rng)
 
+    _log("building device engine (index upload)")
     eng = DeviceSeedingEngine(idx, opt, lanes=BATCH)
+    _log("engine ready; warmup")
     # warmup/compile: run the first full-size batch once (same shapes as
     # production so nothing recompiles during the timed run)
     import time as _t

@@ -109,6 +109,10 @@ def cmd_mem(args) -> int:
     if paired:
         opt.flag |= MEM_F_PE
 
+    from bwameme_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     timer = StageTimer()
     with timer.stage("index_load"):
         idx = load_index(args.prefix)

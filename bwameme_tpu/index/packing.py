@@ -95,11 +95,29 @@ def extract_key64(code: np.ndarray, pos: np.ndarray, pad_code: int = 3) -> np.nd
     src/LearnedIndex_seeding.cpp:613-795) and of the key regeneration in
     get_key_of_ref (reference: src/fastmap.cpp:537-612).
     """
-    n = len(code)
     pos = np.asarray(pos, dtype=np.int64)
-    key = np.zeros(len(pos), dtype=np.uint64)
-    for i in range(32):
-        p = pos + i
-        c = np.where(p < n, code[np.minimum(p, n - 1)], pad_code).astype(np.uint64)
-        key = (key << np.uint64(2)) | c
-    return key
+    # pack once, then gather 3 words per position and funnel-shift — ~6 ops
+    # per key instead of 32 gather+shift rounds
+    words = np.concatenate([
+        pack_words(code, pad_code=pad_code),
+        np.full(3, _word_fill(pad_code), dtype=np.uint32),
+    ])
+    wi = pos >> 4
+    sh = ((pos & 15) << 1).astype(np.uint32)
+    w0 = words[wi].astype(np.uint64)
+    w1 = words[wi + 1].astype(np.uint64)
+    w2 = words[wi + 2].astype(np.uint64)
+    # key = bits [sh, sh+64) of the 96-bit window w0:w1:w2
+    hi64 = (w0 << np.uint64(32)) | w1
+    shifted = hi64 << sh.astype(np.uint64)
+    low = np.where(sh == 0, np.uint64(0),
+                   w2 >> (np.uint64(32) - sh.astype(np.uint64)))
+    return shifted | low
+
+
+def _word_fill(pad_code: int) -> np.uint32:
+    """uint32 word of 16 repeated 2-bit pad codes."""
+    w = 0
+    for _ in range(16):
+        w = (w << 2) | (pad_code & 3)
+    return np.uint32(w)

@@ -82,10 +82,15 @@ def train_prmi(idx, bits: int, margin: int = 2) -> None:
     over = pred_i - i_arr   # how far prediction overshoots the true index
     under = i_arr - pred_i
 
+    # segment maxima: leaf_of is sorted (keys are sorted), so the nonempty
+    # leaves' segments tile the array — maximum.reduceat over their starts
+    # (np.maximum.at is ~50x slower)
     err_lo = np.zeros(n_leaves, dtype=np.int64)
     err_hi = np.zeros(n_leaves, dtype=np.int64)
-    np.maximum.at(err_lo, leaf_of, over)
-    np.maximum.at(err_hi, leaf_of, under)
+    ne = np.flatnonzero(cnt > 0)
+    if len(ne):
+        err_lo[ne] = np.maximum.reduceat(over, leaf_start[ne])
+        err_hi[ne] = np.maximum.reduceat(under, leaf_start[ne])
     err_lo = np.maximum(err_lo, 0) + margin
     err_hi = np.maximum(err_hi, 0) + 1 + margin
 

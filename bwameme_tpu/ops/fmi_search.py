@@ -64,6 +64,22 @@ class DeviceFmIndex:
         )
 
 
+def _dfm_flatten(dfm):
+    return ((dfm.count, dfm.cp_count, dfm.cp_bits, dfm.sa, dfm.sa_comp),
+            (dfm.sentinel, dfm.n))
+
+
+def _dfm_unflatten(aux, children):
+    sentinel, n = aux
+    count, cp_count, cp_bits, sa, sa_comp = children
+    return DeviceFmIndex(count=count, cp_count=cp_count, cp_bits=cp_bits,
+                         sa=sa, sa_comp=sa_comp, sentinel=sentinel, n=n)
+
+
+# pytree: the FM-index must enter programs as jit parameters, not constants
+jax.tree_util.register_pytree_node(DeviceFmIndex, _dfm_flatten, _dfm_unflatten)
+
+
 def _high_mask(t):
     """uint32 with the top t bits set, t in [0, 32] (clamped)."""
     t = jnp.clip(t, 0, 32)
@@ -75,10 +91,31 @@ def _high_mask(t):
 
 
 def make_fmi_fns(dfm: DeviceFmIndex):
-    cp_count = dfm.cp_count
-    cp_bits = dfm.cp_bits
-    count = dfm.count
+    """Public fns take the DeviceFmIndex pytree as their FIRST argument so
+    the occ tables/SA enter each program as parameters (see sa_search)."""
     sentinel = jnp.int32(dfm.sentinel)
+
+    def build(d):
+        cp_count = d.cp_count
+        cp_bits = d.cp_bits
+        count = d.count
+        return _build_fmi_raw(cp_count, cp_bits, count, sentinel, d.sa_comp)
+
+    public = {}
+    for _name in ("occ", "backward_ext_all", "backward_ext", "forward_ext",
+                  "init_intv", "sa_lookup"):
+        def _mk(nm):
+            @jax.jit
+            def f(d, *args):
+                return build(d)[nm](*args)
+            f.__name__ = nm
+            return f
+        public[_name] = _mk(_name)
+    public["raw"] = build
+    return public
+
+
+def _build_fmi_raw(cp_count, cp_bits, count, sentinel, sa_comp):
 
     def occ(b, p):
         """#occurrences of base b in bwt[0:p). b, p broadcastable int32."""
@@ -171,17 +208,14 @@ def make_fmi_fns(dfm: DeviceFmIndex):
 
         sp, offset, done, hit_sent = jax.lax.while_loop(
             cond, body, (sp, offset, done, hit_sent))
-        base = jnp.take(dfm.sa_comp, sp >> SA_COMPX, mode="clip")
+        base = jnp.take(sa_comp, sp >> SA_COMPX, mode="clip")
         return jnp.where(hit_sent, offset, base + offset)
 
     return dict(
         occ=occ,
-        backward_ext_all=jax.jit(backward_ext_all),
-        backward_ext=jax.jit(backward_ext),
-        forward_ext=jax.jit(forward_ext),
-        init_intv=jax.jit(init_intv),
-        sa_lookup=jax.jit(sa_lookup),
-        backward_ext_raw=backward_ext,
-        forward_ext_raw=forward_ext,
-        init_intv_raw=init_intv,
+        backward_ext_all=backward_ext_all,
+        backward_ext=backward_ext,
+        forward_ext=forward_ext,
+        init_intv=init_intv,
+        sa_lookup=sa_lookup,
     )

@@ -84,6 +84,28 @@ class DeviceIndex:
             kmer_bits=kmer_bits,
         )
 
+def _di_flatten(di):
+    children = (di.text32, di.sa, di.key_hi, di.key_lo, di.leaf_start,
+                di.alpha, di.beta, di.err_lo, di.err_hi, di.isa,
+                di.kmer_table)
+    return children, (di.bits, di.n_sa, di.kmer_bits)
+
+
+def _di_unflatten(aux, children):
+    bits, n_sa, kmer_bits = aux
+    (text32, sa, key_hi, key_lo, leaf_start, alpha, beta, err_lo, err_hi,
+     isa, kmer_table) = children
+    return DeviceIndex(text32=text32, sa=sa, key_hi=key_hi, key_lo=key_lo,
+                       leaf_start=leaf_start, alpha=alpha, beta=beta,
+                       err_lo=err_lo, err_hi=err_hi, bits=bits, n_sa=n_sa,
+                       isa=isa, kmer_table=kmer_table, kmer_bits=kmer_bits)
+
+
+# DeviceIndex is a pytree so it can be a jit ARGUMENT: index arrays must
+# enter programs as parameters, never as inlined constants.
+jax.tree_util.register_pytree_node(DeviceIndex, _di_flatten, _di_unflatten)
+
+
 def _gather_words3(buf: jax.Array, word_idx: jax.Array):
     w0 = jnp.take(buf, word_idx, axis=0, mode="clip")
     w1 = jnp.take(buf, word_idx + 1, axis=0, mode="clip")
@@ -182,209 +204,286 @@ def compare_keys(khi, klo, skhi, sklo, v, need_lcp=True):
 
 def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
                     root: str = "prmi"):
-    """Build jitted search primitives closed over the device index.
+    """Build jitted search primitives for a device index.
+
+    Every public fn takes the DeviceIndex (a pytree of device arrays) as its
+    FIRST argument, so the index enters each program as jit *parameters* —
+    never as inlined HLO constants (closing over multi-GB arrays makes the
+    serialized program gigabytes big and unshippable to a remote compiler).
 
     root="prmi": initial window from the learned-index model (the -7 path).
     root="kmer": initial window from the ERT k-mer root table — one gather
     per (padded) key; the insertion point of any key lies inside its k-mer
     prefix block by construction (see index/ert.py).
+
+    Control-flow shape (TPU compile time grows steeply with nested dynamic
+    loops, so the query path is engineered loop-free):
+    * suffix compares beyond 32 bases are FLAT when the index carries the
+      MODE-3 inverse suffix array: the continuation of suffix sa[r] at depth
+      32k is the stored key at rank isa[sa[r]+32k] (the ISA doubling as the
+      reference's ref2sa tradeoff structure, src/LearnedIndex_seeding.cpp:
+      3208-3704) — a static unroll of key gathers. Without the ISA the old
+      chunked text-word while loop (deep_cmp) is used.
+    * the error-window binary search is a FIXED-round static unroll: the
+      P-RMI window is at most err_lo+err_hi wide; the kmer root's widest
+      block is read off the table at build time.
+    Result: sa_query_min1 (the step-1 workhorse) contains no loops at all.
     """
-    text32 = di.text32
-    sa = di.sa
-    key_hi = di.key_hi
-    key_lo = di.key_lo
     bits = di.bits
     n_sa = di.n_sa
+    kmer_bits = di.kmer_bits
+    has_isa = di.isa is not None
     shift = jnp.uint32(32 - bits)
     rel_mask = jnp.uint32((1 << (32 - bits)) - 1) if bits < 32 else jnp.uint32(0)
+    n_segs = max(1, -(-(max_read_words * 16) // 32))
+    if root == "kmer":
+        tab = np.asarray(di.kmer_table)
+        max_width = int(np.max(tab[1:] - tab[:-1])) if len(tab) > 1 else 1
+    else:
+        max_width = int(np.max(np.asarray(di.err_lo) + np.asarray(di.err_hi)))
+    lb_rounds = max(1, int(np.ceil(np.log2(max(max_width, 1) + 1))) + 1)
 
-    def kmer_window(khi, klo):
-        m = (khi >> jnp.uint32(32 - 2 * di.kmer_bits)).astype(jnp.int32)
-        lo = jnp.take(di.kmer_table, m, mode="clip")
-        hi = jnp.take(di.kmer_table, m + 1, mode="clip")
-        return lo, hi
+    def build(d: DeviceIndex):
+        """Raw (unjitted) search primitives over traced index arrays; use
+        inside larger jitted programs (the engine's fused kernels)."""
 
-    def prmi_window(khi, klo):
-        leaf = (khi >> shift).astype(jnp.int32)
-        rel = (khi & rel_mask).astype(jnp.float32) * jnp.float32(4294967296.0) \
-            + klo.astype(jnp.float32)
-        ls = jnp.take(di.leaf_start, leaf, mode="clip")
-        le = jnp.take(di.leaf_start, leaf + 1, mode="clip")
-        cnt = (le - ls).astype(jnp.float32)
-        predf = jnp.clip(
-            jnp.take(di.alpha, leaf, mode="clip")
-            + jnp.take(di.beta, leaf, mode="clip") * rel,
-            0.0, cnt,
-        )
-        pred = ls + predf.astype(jnp.int32)
-        lo = jnp.maximum(pred - jnp.take(di.err_lo, leaf, mode="clip"), 0)
-        hi = jnp.minimum(pred + jnp.take(di.err_hi, leaf, mode="clip"), n_sa)
-        return lo, hi
-
-    rmi_window = kmer_window if root == "kmer" else prmi_window
-
-    def deep_cmp(qbuf32, row, pivot, v, sa_idx, base_lcp, base_less, resolved):
-        """Continue comparison beyond 32 bases, 16-base chunks."""
-        tpos = jnp.take(sa, jnp.clip(sa_idx, 0, n_sa - 1), mode="clip")
-
-        def cond(st):
-            step, resolved, less, lcp = st
-            return (step < max_read_words) & jnp.any(~resolved)
-
-        def body(st):
-            step, resolved, less, lcp = st
-            off = 32 + step * 16
-            qv = query_word_at(qbuf32, row, pivot + off)
-            tv = text_word_at(text32, tpos + off)
-            x = qv ^ tv
-            chunk_lcp = _lcp_bases32(x)
-            rem = v - off  # bases remaining after off
-            this_lcp = jnp.minimum(chunk_lcp, jnp.maximum(rem, 0))
-            new_lcp = jnp.where(resolved, lcp, off + this_lcp)
-            diff_in = chunk_lcp < jnp.minimum(rem, 16)
-            new_less = jnp.where(
-                resolved, less, jnp.where(diff_in, tv < qv, False)
-            )
-            now_resolved = resolved | diff_in | (rem <= 16)
-            return step + 1, now_resolved, new_less, new_lcp
-
-        _, resolved, less, lcp = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), resolved, base_less, base_lcp)
-        )
-        return less, lcp
-
-    def suffix_cmp(qbuf32, row, pivot, v, sa_idx):
-        """Full comparison: (less, lcp) of suffix sa[sa_idx] vs pattern."""
-        idx = jnp.clip(sa_idx, 0, n_sa - 1)
-        khi, klo = extract_pattern_words(qbuf32, row, pivot)
-        skhi = jnp.take(key_hi, idx, mode="clip")
-        sklo = jnp.take(key_lo, idx, mode="clip")
-        x_hi = khi ^ skhi
-        x_lo = klo ^ sklo
-        lcp32 = jnp.where(x_hi != 0, _lcp_bases32(x_hi), 16 + _lcp_bases32(x_lo))
-        vc = jnp.minimum(v, 32)
-        diff_before = lcp32 < vc
-        less0 = jnp.where(x_hi != 0, skhi < khi, sklo < klo)
-        less0 = jnp.where(diff_before, less0, False)
-        lcp0 = jnp.minimum(lcp32, vc)
-        resolved = diff_before | (v <= 32)
-        less, lcp = deep_cmp(qbuf32, row, pivot, v, idx, lcp0, less0, resolved)
-        # out-of-range sentinel indices: treat as lcp 0
-        oob = (sa_idx < 0) | (sa_idx >= n_sa)
-        lcp = jnp.where(oob, 0, lcp)
-        less = jnp.where(sa_idx < 0, True, jnp.where(sa_idx >= n_sa, False, less))
-        return less, lcp
-
-    def lower_bound(qbuf32, row, pivot, v, wlo, whi, strict_greater=False):
-        """First index in [wlo, whi] where suffix >= pattern[:v]
-        (or > pattern[:v] when strict_greater: used for upper bounds)."""
-
-        def cond(st):
-            lo, hi = st
-            return jnp.any(lo < hi)
-
-        def body(st):
-            lo, hi = st
-            mid = (lo + hi) >> 1
-            less, lcp = suffix_cmp(qbuf32, row, pivot, v, mid)
-            pred = less | (lcp >= v) if strict_greater else less
-            active = lo < hi
-            lo = jnp.where(active & pred, mid + 1, lo)
-            hi = jnp.where(active & (~pred), mid, hi)
+        def kmer_window(khi, klo):
+            m = (khi >> jnp.uint32(32 - 2 * kmer_bits)).astype(jnp.int32)
+            lo = jnp.take(d.kmer_table, m, mode="clip")
+            hi = jnp.take(d.kmer_table, m + 1, mode="clip")
             return lo, hi
 
-        lo, _ = jax.lax.while_loop(cond, body, (wlo, whi))
-        return lo
+        def prmi_window(khi, klo):
+            leaf = (khi >> shift).astype(jnp.int32)
+            rel = (khi & rel_mask).astype(jnp.float32) * jnp.float32(4294967296.0) \
+                + klo.astype(jnp.float32)
+            ls = jnp.take(d.leaf_start, leaf, mode="clip")
+            le = jnp.take(d.leaf_start, leaf + 1, mode="clip")
+            cnt = (le - ls).astype(jnp.float32)
+            predf = jnp.clip(
+                jnp.take(d.alpha, leaf, mode="clip")
+                + jnp.take(d.beta, leaf, mode="clip") * rel,
+                0.0, cnt,
+            )
+            pred = ls + predf.astype(jnp.int32)
+            lo = jnp.maximum(pred - jnp.take(d.err_lo, leaf, mode="clip"), 0)
+            hi = jnp.minimum(pred + jnp.take(d.err_hi, leaf, mode="clip"), n_sa)
+            return lo, hi
 
-    @jax.jit
-    def find_longest(qbuf32, row, pivot, v):
-        """Max LCP of pattern over the whole SA: (mlen, best_ip)."""
-        khi, klo = extract_pattern_words(qbuf32, row, pivot)
-        # T-pad the RMI key beyond v bases (key == pattern + T-pad)
-        keep_hi, keep_lo = keep_masks(v)
-        khi_p = (khi & keep_hi) | ~keep_hi
-        klo_p = (klo & keep_lo) | ~keep_lo
-        wlo, whi = rmi_window(khi_p, klo_p)
-        ip = lower_bound(qbuf32, row, pivot, v, wlo, whi)
-        _, l0 = suffix_cmp(qbuf32, row, pivot, v, ip - 1)
-        _, l1 = suffix_cmp(qbuf32, row, pivot, v, ip)
-        return jnp.maximum(l0, l1), ip
+        rmi_window = kmer_window if root == "kmer" else prmi_window
 
-    @jax.jit
-    def interval_at(qbuf32, row, pivot, l):
-        """(lb, count) of the SA interval of suffixes with prefix
-        pattern[:l]."""
-        khi, klo = extract_pattern_words(qbuf32, row, pivot)
-        keep_hi, keep_lo = keep_masks(l)
-        # A-padded key (lower bound) = mask off bits beyond l
-        khi_a = khi & keep_hi
-        klo_a = klo & keep_lo
-        # T-padded key (upper bound)
-        khi_t = khi_a | ~keep_hi
-        klo_t = klo_a | ~keep_lo
-        wlo_a, whi_a = rmi_window(khi_a, klo_a)
-        wlo_t, whi_t = rmi_window(khi_t, klo_t)
-        lb = lower_bound(qbuf32, row, pivot, l, wlo_a, whi_a)
-        ub = lower_bound(qbuf32, row, pivot, l, wlo_t, whi_t, strict_greater=True)
-        return lb, ub - lb
+        def deep_cmp(qbuf32, row, pivot, v, sa_idx, base_lcp, base_less,
+                     resolved):
+            """Continue comparison beyond 32 bases, 16-base text chunks."""
+            tpos = jnp.take(d.sa, jnp.clip(sa_idx, 0, n_sa - 1), mode="clip")
 
-    @jax.jit
-    def lcp_at(qbuf32, row, pivot, cap, sa_idx):
-        """LCP of suffix sa[sa_idx] with pattern[:cap] (0 if out of range)."""
-        _, l = suffix_cmp(qbuf32, row, pivot, cap, sa_idx)
-        return l
+            def cond(st):
+                step, resolved, less, lcp = st
+                return (step < max_read_words) & jnp.any(~resolved)
 
-    @jax.jit
-    def sa_query_min1(qbuf32, row, pivot, v):
-        """sa_query specialized to min_intv == 1 (every step-1 query): the
-        widening loop degenerates to a single interval evaluation, removing
-        one while-loop nesting level from the fused seeding program."""
-        mlen, _ = find_longest(qbuf32, row, pivot, jnp.maximum(v, 1))
-        mlen = jnp.where(v <= 0, 0, mlen)
-        lb, cnt = interval_at(qbuf32, row, pivot, jnp.maximum(mlen, 1))
-        lb = jnp.where(mlen == 0, 0, lb)
-        cnt = jnp.where(mlen == 0, n_sa, cnt)
-        return mlen, lb, cnt
+            def body(st):
+                step, resolved, less, lcp = st
+                off = 32 + step * 16
+                qv = query_word_at(qbuf32, row, pivot + off)
+                tv = text_word_at(d.text32, tpos + off)
+                x = qv ^ tv
+                chunk_lcp = _lcp_bases32(x)
+                rem = v - off
+                this_lcp = jnp.minimum(chunk_lcp, jnp.maximum(rem, 0))
+                new_lcp = jnp.where(resolved, lcp, off + this_lcp)
+                diff_in = chunk_lcp < jnp.minimum(rem, 16)
+                new_less = jnp.where(
+                    resolved, less, jnp.where(diff_in, tv < qv, False)
+                )
+                now_resolved = resolved | diff_in | (rem <= 16)
+                return step + 1, now_resolved, new_less, new_lcp
 
-    @jax.jit
-    def sa_query(qbuf32, row, pivot, v, min_intv):
-        """The widening fixed point: longest l with interval count >= min_intv.
-        Returns (l, lb, cnt). v==0 lanes are inert (return 0,0,n_sa)."""
-        mlen, _ = find_longest(qbuf32, row, pivot, jnp.maximum(v, 1))
-        mlen = jnp.where(v <= 0, 0, mlen)
+            _, resolved2, less, lcp = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), resolved, base_less, base_lcp)
+            )
+            return less, lcp
 
-        def cond(st):
-            mlen, lb, cnt, done = st
-            return jnp.any(~done)
+        def _seg_key(sa_pos, k):
+            """32-base key of the suffix continuation at text position
+            sa_pos + 32k, via the ISA (all-T beyond the kept range)."""
+            pos = sa_pos + 32 * k
+            in_range = pos < n_sa
+            rank2 = jnp.take(d.isa, jnp.clip(pos, 0, n_sa - 1), mode="clip")
+            skhi = jnp.where(in_range, jnp.take(d.key_hi, rank2, mode="clip"),
+                             FULL)
+            sklo = jnp.where(in_range, jnp.take(d.key_lo, rank2, mode="clip"),
+                             FULL)
+            return skhi, sklo
 
-        def body(st):
-            mlen, lb, cnt, done = st
-            l_eff = jnp.maximum(mlen, 1)
-            lb2, cnt2 = interval_at(qbuf32, row, pivot, l_eff)
-            lb2 = jnp.where(mlen == 0, 0, lb2)
-            cnt2 = jnp.where(mlen == 0, n_sa, cnt2)
-            sat = (cnt2 >= min_intv) | (mlen == 0)
-            l0 = lcp_at(qbuf32, row, pivot, l_eff, lb2 - 1)
-            l1 = lcp_at(qbuf32, row, pivot, l_eff, lb2 + cnt2)
-            nxt = jnp.maximum(l0, l1)
-            new_mlen = jnp.where(done | sat, mlen, nxt)
-            new_lb = jnp.where(done, lb, lb2)
-            new_cnt = jnp.where(done, cnt, cnt2)
-            return new_mlen, new_lb, new_cnt, done | sat
+        def suffix_cmp_flat(qbuf32, row, pivot, v, sa_idx):
+            """(less, lcp) of suffix sa[sa_idx] vs pattern — no loops:
+            statically unrolled 32-base segments, continuation keys gathered
+            through the ISA."""
+            idx = jnp.clip(sa_idx, 0, n_sa - 1)
+            sa_pos = jnp.take(d.sa, idx, mode="clip")
+            less = jnp.zeros(jnp.shape(idx), jnp.bool_)
+            lcp = jnp.zeros(jnp.shape(idx), jnp.int32)
+            resolved = jnp.zeros(jnp.shape(idx), jnp.bool_)
+            for k in range(n_segs):
+                off = 32 * k
+                khi, klo = extract_pattern_words(qbuf32, row, pivot + off)
+                if k == 0:
+                    skhi = jnp.take(d.key_hi, idx, mode="clip")
+                    sklo = jnp.take(d.key_lo, idx, mode="clip")
+                else:
+                    skhi, sklo = _seg_key(sa_pos, k)
+                x_hi = khi ^ skhi
+                x_lo = klo ^ sklo
+                lcp32 = jnp.where(x_hi != 0, _lcp_bases32(x_hi),
+                                  16 + _lcp_bases32(x_lo))
+                rem = v - off
+                vc = jnp.clip(rem, 0, 32)
+                diff_before = lcp32 < vc
+                less_k = jnp.where(x_hi != 0, skhi < khi, sklo < klo)
+                less_k = jnp.where(diff_before, less_k, False)
+                lcp_k = off + jnp.minimum(lcp32, vc)
+                less = jnp.where(resolved, less, less_k)
+                lcp = jnp.where(resolved, lcp, lcp_k)
+                resolved = resolved | diff_before | (rem <= 32)
+            oob = (sa_idx < 0) | (sa_idx >= n_sa)
+            lcp = jnp.where(oob, 0, lcp)
+            less = jnp.where(sa_idx < 0, True,
+                             jnp.where(sa_idx >= n_sa, False, less))
+            return less, lcp
 
-        mlen, lb, cnt, _ = jax.lax.while_loop(
-            cond, body,
-            (mlen, jnp.zeros_like(mlen), jnp.zeros_like(mlen),
-             jnp.zeros(mlen.shape, jnp.bool_)),
+        def suffix_cmp_deep(qbuf32, row, pivot, v, sa_idx):
+            """Fallback (no ISA): key compare + chunked text while loop."""
+            idx = jnp.clip(sa_idx, 0, n_sa - 1)
+            khi, klo = extract_pattern_words(qbuf32, row, pivot)
+            skhi = jnp.take(d.key_hi, idx, mode="clip")
+            sklo = jnp.take(d.key_lo, idx, mode="clip")
+            x_hi = khi ^ skhi
+            x_lo = klo ^ sklo
+            lcp32 = jnp.where(x_hi != 0, _lcp_bases32(x_hi),
+                              16 + _lcp_bases32(x_lo))
+            vc = jnp.minimum(v, 32)
+            diff_before = lcp32 < vc
+            less0 = jnp.where(x_hi != 0, skhi < khi, sklo < klo)
+            less0 = jnp.where(diff_before, less0, False)
+            lcp0 = jnp.minimum(lcp32, vc)
+            resolved = diff_before | (v <= 32)
+            less, lcp = deep_cmp(qbuf32, row, pivot, v, idx, lcp0, less0,
+                                 resolved)
+            oob = (sa_idx < 0) | (sa_idx >= n_sa)
+            lcp = jnp.where(oob, 0, lcp)
+            less = jnp.where(sa_idx < 0, True,
+                             jnp.where(sa_idx >= n_sa, False, less))
+            return less, lcp
+
+        suffix_cmp = suffix_cmp_flat if has_isa else suffix_cmp_deep
+
+        def lower_bound(qbuf32, row, pivot, v, wlo, whi, strict_greater=False):
+            """First index in [wlo, whi] where suffix >= pattern[:v]
+            (or > pattern[:v] when strict_greater). Fixed-round unrolled
+            binary search (window width < 2^lb_rounds)."""
+            lo, hi = wlo, whi
+            for _ in range(lb_rounds):
+                mid = (lo + hi) >> 1
+                less, lcp = suffix_cmp(qbuf32, row, pivot, v, mid)
+                pred = less | (lcp >= v) if strict_greater else less
+                active = lo < hi
+                lo = jnp.where(active & pred, mid + 1, lo)
+                hi = jnp.where(active & (~pred), mid, hi)
+            return lo
+
+        def find_longest(qbuf32, row, pivot, v):
+            """Max LCP of pattern over the whole SA: (mlen, best_ip)."""
+            khi, klo = extract_pattern_words(qbuf32, row, pivot)
+            keep_hi, keep_lo = keep_masks(v)
+            khi_p = (khi & keep_hi) | ~keep_hi
+            klo_p = (klo & keep_lo) | ~keep_lo
+            wlo, whi = rmi_window(khi_p, klo_p)
+            ip = lower_bound(qbuf32, row, pivot, v, wlo, whi)
+            _, l0 = suffix_cmp(qbuf32, row, pivot, v, ip - 1)
+            _, l1 = suffix_cmp(qbuf32, row, pivot, v, ip)
+            return jnp.maximum(l0, l1), ip
+
+        def interval_at(qbuf32, row, pivot, l):
+            """(lb, count) of the SA interval of prefix pattern[:l]."""
+            khi, klo = extract_pattern_words(qbuf32, row, pivot)
+            keep_hi, keep_lo = keep_masks(l)
+            khi_a = khi & keep_hi
+            klo_a = klo & keep_lo
+            khi_t = khi_a | ~keep_hi
+            klo_t = klo_a | ~keep_lo
+            wlo_a, whi_a = rmi_window(khi_a, klo_a)
+            wlo_t, whi_t = rmi_window(khi_t, klo_t)
+            lb = lower_bound(qbuf32, row, pivot, l, wlo_a, whi_a)
+            ub = lower_bound(qbuf32, row, pivot, l, wlo_t, whi_t,
+                             strict_greater=True)
+            return lb, ub - lb
+
+        def lcp_at(qbuf32, row, pivot, cap, sa_idx):
+            """LCP of suffix sa[sa_idx] with pattern[:cap]."""
+            _, l = suffix_cmp(qbuf32, row, pivot, cap, sa_idx)
+            return l
+
+        def sa_query_min1(qbuf32, row, pivot, v):
+            """sa_query specialized to min_intv == 1 (every step-1 query):
+            loop-free."""
+            mlen, _ = find_longest(qbuf32, row, pivot, jnp.maximum(v, 1))
+            mlen = jnp.where(v <= 0, 0, mlen)
+            lb, cnt = interval_at(qbuf32, row, pivot, jnp.maximum(mlen, 1))
+            lb = jnp.where(mlen == 0, 0, lb)
+            cnt = jnp.where(mlen == 0, n_sa, cnt)
+            return mlen, lb, cnt
+
+        def sa_query(qbuf32, row, pivot, v, min_intv):
+            """The widening fixed point: longest l with interval count >=
+            min_intv. Returns (l, lb, cnt); v==0 lanes are inert."""
+            mlen, _ = find_longest(qbuf32, row, pivot, jnp.maximum(v, 1))
+            mlen = jnp.where(v <= 0, 0, mlen)
+
+            def cond(st):
+                mlen, lb, cnt, done = st
+                return jnp.any(~done)
+
+            def body(st):
+                mlen, lb, cnt, done = st
+                l_eff = jnp.maximum(mlen, 1)
+                lb2, cnt2 = interval_at(qbuf32, row, pivot, l_eff)
+                lb2 = jnp.where(mlen == 0, 0, lb2)
+                cnt2 = jnp.where(mlen == 0, n_sa, cnt2)
+                sat = (cnt2 >= min_intv) | (mlen == 0)
+                l0 = lcp_at(qbuf32, row, pivot, l_eff, lb2 - 1)
+                l1 = lcp_at(qbuf32, row, pivot, l_eff, lb2 + cnt2)
+                nxt = jnp.maximum(l0, l1)
+                new_mlen = jnp.where(done | sat, mlen, nxt)
+                new_lb = jnp.where(done, lb, lb2)
+                new_cnt = jnp.where(done, cnt, cnt2)
+                return new_mlen, new_lb, new_cnt, done | sat
+
+            mlen, lb, cnt, _ = jax.lax.while_loop(
+                cond, body,
+                (mlen, jnp.zeros_like(mlen), jnp.zeros_like(mlen),
+                 jnp.zeros(mlen.shape, jnp.bool_)),
+            )
+            return mlen, lb, cnt
+
+        return dict(
+            rmi_window=rmi_window,
+            suffix_cmp=suffix_cmp,
+            find_longest=find_longest,
+            interval_at=interval_at,
+            lcp_at=lcp_at,
+            sa_query=sa_query,
+            sa_query_min1=sa_query_min1,
         )
-        return mlen, lb, cnt
 
-    return dict(
-        rmi_window=rmi_window,
-        suffix_cmp=suffix_cmp,
-        find_longest=find_longest,
-        interval_at=interval_at,
-        lcp_at=lcp_at,
-        sa_query=sa_query,
-        sa_query_min1=sa_query_min1,
-    )
+    public = {}
+    for _name in ("rmi_window", "suffix_cmp", "find_longest", "interval_at",
+                  "lcp_at", "sa_query", "sa_query_min1"):
+        def _mk(nm):
+            @jax.jit
+            def f(d, *args):
+                return build(d)[nm](*args)
+            f.__name__ = nm
+            return f
+        public[_name] = _mk(_name)
+    public["raw"] = build
+    return public

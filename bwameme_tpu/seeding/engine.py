@@ -32,7 +32,7 @@ RIGHT_Z = 3  # right search in the zigzag (emits)
 
 
 class DeviceSeedingEngine:
-    def __init__(self, idx, opt, max_read_len: int = 512,
+    def __init__(self, idx, opt, max_read_len: int = 160,
                  lanes: int = 1024, root: str = "prmi",
                  ert_bits: int = 0) -> None:
         """root="prmi" (learned index, the -7 path) or "kmer" (the ERT
@@ -52,26 +52,74 @@ class DeviceSeedingEngine:
         self._fused_step3 = self._build_fused_step3()
         self.max_smems = 96  # per-read emission capacity in the fused kernels
         self.use_fused = True
+        # fused step 3 nests the level-walk inside the pivot sweep (the only
+        # remaining depth-2 program); the host-driven sweep uses the same
+        # depth-1 kernel in a handful of waves and compiles far faster
+        self.fuse_step3 = False
 
     # ------------------------------------------------------------- packing
-    def _prepare(self, codes_list: list[np.ndarray]):
+    @staticmethod
+    def _batch_matrix(codes_list):
+        """(R, maxlen) uint8 matrix padded with T plus lengths + RC matrix.
+        Vectorized batch prep: per-read python loops cost more than the
+        device dispatches they feed at production batch sizes."""
         R = len(codes_list)
         maxlen = max((len(c) for c in codes_list), default=1)
+        mat = np.full((R, maxlen), 3, dtype=np.uint8)
+        lens = np.empty(R, np.int64)
+        for i, c in enumerate(codes_list):
+            mat[i, : len(c)] = np.minimum(c, 4)
+            lens[i] = len(c)
+        cols = np.arange(maxlen)
+        valid = cols[None, :] < lens[:, None]
+        # RC with per-row length: reverse each row within its own length
+        idx = lens[:, None] - 1 - cols[None, :]
+        rcm = np.where(idx >= 0, np.take_along_axis(
+            mat, np.maximum(idx, 0), axis=1), 3)
+        rcm = np.where((rcm < 4) & (idx >= 0), 3 - rcm, rcm).astype(np.uint8)
+        mat = np.where(valid, mat, 3).astype(np.uint8)
+        return mat, rcm, lens, maxlen
+
+    @staticmethod
+    def _next_n_batch(mat, lens):
+        """next_n[i, j] = smallest j' >= j with mat[i, j'] >= 4, else len_i;
+        shape (R, maxlen+1). Vectorized backward scan."""
+        R, L = mat.shape
+        out = np.empty((R, L + 1), np.int64)
+        out[:, L] = lens
+        nxt = lens.copy()
+        for j in range(L - 1, -1, -1):
+            isn = (mat[:, j] >= 4) & (j < lens)
+            nxt = np.where(isn, j, np.where(j >= lens, lens, nxt))
+            out[:, j] = nxt
+        return out
+
+    def _prepare(self, codes_list: list[np.ndarray]):
+        R = len(codes_list)
+        mat, rcm, lens, maxlen = self._batch_matrix(codes_list)
         W = (maxlen + 15) // 16 + 3  # +guard words (all T)
+        # pack both strand matrices in one vectorized pass
+        safe_f = np.where(mat >= 4, 0, mat).astype(np.uint8)
+        safe_r = np.where(rcm >= 4, 0, rcm).astype(np.uint8)
+        both = np.concatenate([safe_f, safe_r], axis=0)  # (2R, maxlen)
+        flat = pack_words(both.reshape(-1), pad_code=3)
+        wpr = both.shape[1] // 16 if both.shape[1] % 16 == 0 else None
         qbuf = np.full((2 * R, W), 0xFFFFFFFF, dtype=np.uint32)
-        next_f = []
-        next_r = []
-        for i, codes in enumerate(codes_list):
-            c = np.minimum(codes, 4)
-            safe = np.where(c >= 4, 0, c).astype(np.uint8)
-            rc = np.where(c < 4, 3 - c, c)[::-1]
-            rc_safe = np.where(rc >= 4, 0, rc).astype(np.uint8)
-            wf = pack_words(safe, pad_code=3)
-            wr = pack_words(rc_safe, pad_code=3)
-            qbuf[i, : len(wf)] = wf
-            qbuf[R + i, : len(wr)] = wr
-            next_f.append(HostSeedingEngine._next_n(c))
-            next_r.append(HostSeedingEngine._next_n(rc))
+        if wpr is not None:
+            qbuf[:, :wpr] = flat.reshape(2 * R, wpr)
+        else:
+            # maxlen not word-aligned: pad columns to a word multiple first
+            pad = (-both.shape[1]) % 16
+            padded = np.concatenate(
+                [both, np.full((2 * R, pad), 3, np.uint8)], axis=1)
+            w = pack_words(padded.reshape(-1), pad_code=3)
+            qbuf[:, : padded.shape[1] // 16] = w.reshape(2 * R, -1)
+        # overwrite any packing beyond each read with T-words is unnecessary:
+        # rows were already T-padded to maxlen
+        nf = self._next_n_batch(mat, lens)
+        nr = self._next_n_batch(rcm, lens)
+        next_f = [nf[i, : lens[i] + 1] for i in range(R)]
+        next_r = [nr[i, : lens[i] + 1] for i in range(R)]
         return jnp.asarray(qbuf), next_f, next_r
 
     @staticmethod
@@ -87,32 +135,34 @@ class DeviceSeedingEngine:
             out[i] = nxt
         return out
 
+    @staticmethod
+    def _next_valid_batch(mat, lens):
+        """nv[i, j] = smallest j' >= j with mat[i, j'] < 4, else len_i."""
+        R, L = mat.shape
+        out = np.empty((R, L + 1), np.int64)
+        out[:, L] = lens
+        nxt = lens.copy()
+        for j in range(L - 1, -1, -1):
+            ok = (mat[:, j] < 4) & (j < lens)
+            nxt = np.where(ok, j, np.where(j >= lens, lens, nxt))
+            out[:, j] = nxt
+        return out
+
     def _prepare_fused(self, codes_list: list[np.ndarray]):
         """Device tensors for the fused kernels: padded next-N / next-valid
-        tables for forward and RC reads + lengths."""
-        R = len(codes_list)
-        maxlen = max((len(c) for c in codes_list), default=1)
-        Lp = maxlen + 1
-        nf = np.zeros((R, Lp), np.int32)
-        nr = np.zeros((R, Lp), np.int32)
-        nvf = np.zeros((R, Lp), np.int32)
-        lens = np.zeros(R, np.int32)
-        for i, codes in enumerate(codes_list):
-            c = np.minimum(codes, 4)
-            rc = np.where(c < 4, 3 - c, c)[::-1]
-            l = len(c)
-            lens[i] = l
-            a = HostSeedingEngine._next_n(c)
-            b = HostSeedingEngine._next_n(rc)
-            nf[i, : l + 1] = a
-            nf[i, l + 1:] = l
-            nr[i, : l + 1] = b
-            nr[i, l + 1:] = l
-            nv = self._next_valid(c)
-            nvf[i, : l + 1] = nv
-            nvf[i, l + 1:] = l
+        tables for forward and RC reads + lengths (vectorized)."""
+        mat, rcm, lens, maxlen = self._batch_matrix(codes_list)
+        nf = self._next_n_batch(mat, lens)
+        nr = self._next_n_batch(rcm, lens)
+        nvf = self._next_valid_batch(mat, lens)
+        # beyond len: clamp to len (rows are T-padded so next-N would be len)
+        cols = np.arange(maxlen + 1)
+        beyond = cols[None, :] > lens[:, None]
+        nf = np.where(beyond, lens[:, None], nf).astype(np.int32)
+        nr = np.where(beyond, lens[:, None], nr).astype(np.int32)
+        nvf = np.where(beyond, lens[:, None], nvf).astype(np.int32)
         return (jnp.asarray(nf), jnp.asarray(nr), jnp.asarray(nvf),
-                jnp.asarray(lens))
+                jnp.asarray(lens.astype(np.int32)))
 
     def _query_batch(self, qbuf, rows, pivots, vs, min_intvs):
         """One batched sa_query call at the engine's fixed lane count
@@ -134,7 +184,7 @@ class DeviceSeedingEngine:
         mi = np.ones(lanes, np.int32)
         row[:n], piv[:n], v[:n], mi[:n] = rows, pivots, vs, min_intvs
         mlen, lb, cnt = self.fns["sa_query"](
-            qbuf, jnp.asarray(row), jnp.asarray(piv), jnp.asarray(v),
+            self.di, qbuf, jnp.asarray(row), jnp.asarray(piv), jnp.asarray(v),
             jnp.asarray(mi),
         )
         return (np.asarray(mlen)[:n], np.asarray(lb)[:n], np.asarray(cnt)[:n])
@@ -142,7 +192,16 @@ class DeviceSeedingEngine:
     # -------------------------------------------------------- steps 1 and 2
     def collect_smems_batch(self, codes_list: list[np.ndarray]) -> list[list[Smem]]:
         if self.use_fused:
-            return self._collect_fused(codes_list)
+            try:
+                return self._collect_fused(codes_list)
+            except Exception as e:  # remote compile of the fused program can
+                # fail on constrained TPU services; the host-driven path uses
+                # the same (smaller) kernels and is semantically identical
+                import sys
+
+                print(f"[engine] fused seeding unavailable ({type(e).__name__});"
+                      " falling back to host-driven waves", file=sys.stderr)
+                self.use_fused = False
         return self._collect_hostdriven(codes_list)
 
     def _collect_fused(self, codes_list: list[np.ndarray]) -> list[list[Smem]]:
@@ -154,7 +213,7 @@ class DeviceSeedingEngine:
         qbuf, next_f, next_r = self._prepare(codes_list)
         nf, nr, nvf, lens = self._prepare_fused(codes_list)
         starts, ends, lbs, cnts, nsm = self._fused_step1(
-            qbuf, nf, nr, nvf, lens, jnp.int32(opt.min_seed_len), M=M
+            self.di, qbuf, nf, nr, nvf, lens, jnp.int32(opt.min_seed_len), M=M
         )
         starts = np.asarray(starts)
         ends = np.asarray(ends)
@@ -170,17 +229,20 @@ class DeviceSeedingEngine:
             ])
         self._step2_host(qbuf, codes_list, next_f, next_r, smems)
         if opt.max_mem_intv > 0:
-            s3 = self._fused_step3(
-                qbuf, nf, lens, jnp.int32(opt.max_mem_intv),
-                jnp.int32(opt.min_seed_len + 1), M=M,
-            )
-            st3, en3, lb3, cn3, ns3 = (np.asarray(x) for x in s3)
-            for i in range(R):
-                for k in range(int(ns3[i])):
-                    smems[i].append(
-                        Smem(int(st3[i, k]), int(en3[i, k]), int(lb3[i, k]),
-                             int(cn3[i, k]))
-                    )
+            if self.fuse_step3:
+                s3 = self._fused_step3(
+                    self.di, qbuf, nf, lens, jnp.int32(opt.max_mem_intv),
+                    jnp.int32(opt.min_seed_len + 1), M=M,
+                )
+                st3, en3, lb3, cn3, ns3 = (np.asarray(x) for x in s3)
+                for i in range(R):
+                    for k in range(int(ns3[i])):
+                        smems[i].append(
+                            Smem(int(st3[i, k]), int(en3[i, k]),
+                                 int(lb3[i, k]), int(cn3[i, k]))
+                        )
+            else:
+                self._third_round_batch(qbuf, codes_list, next_f, smems)
         return smems
 
     def _collect_hostdriven(self, codes_list: list[np.ndarray]) -> list[list[Smem]]:
@@ -362,9 +424,10 @@ class DeviceSeedingEngine:
         in closed form from next-N/next-valid tables) iterated by a single
         lax.while_loop around the sa_query body. Replaces ~2x(#SMEMs) host
         round-trips per batch with one dispatch."""
-        fns = self.fns
+        raw = self.fns["raw"]
 
-        def fused(qbuf, nf, nr, nvf, lens, minseed, M):
+        def fused(di, qbuf, nf, nr, nvf, lens, minseed, M):
+            fns = raw(di)
             R, Lp = nf.shape
             lane = jnp.arange(R, dtype=jnp.int32)
             nf_f = nf.reshape(-1)
@@ -478,10 +541,11 @@ class DeviceSeedingEngine:
     def _build_fused_step3(self):
         """Fused third round: per-read pivot sweep (closed-form skips) around
         the third_round level-walk body, as one device program."""
-        fns = self.fns
+        raw = self.fns["raw"]
         tr_core = self._tr_core
 
-        def fused(qbuf, nf, lens, min_intv, min_seed, M):
+        def fused(di, qbuf, nf, lens, min_intv, min_seed, M):
+            fns = raw(di)
             R, Lp = nf.shape
             lane = jnp.arange(R, dtype=jnp.int32)
             nf_f = nf.reshape(-1)
@@ -530,7 +594,7 @@ class DeviceSeedingEngine:
                 pv, done = st["pv"], st["done"]
                 v = jnp.where(done, 0, tab(pv) - pv).astype(jnp.int32)
                 emit, e_len, e_lb, e_cnt, advance = tr_core(
-                    qbuf, lane, pv, v, min_intv, min_seed
+                    fns, qbuf, lane, pv, v, min_intv, min_seed
                 )
                 emit = emit & (~done)
                 slot = jnp.where(emit & (st["nsm"] < M), st["nsm"], M)
@@ -551,10 +615,10 @@ class DeviceSeedingEngine:
 
     # ------------------------------------------------------------- round 3
     def _build_third_round(self):
-        fns = self.fns
+        raw = self.fns["raw"]
         n_sa = self.di.n_sa
 
-        def third_round(qbuf32, row, pivot, v, min_intv, min_seed):
+        def third_round_core(fns, qbuf32, row, pivot, v, min_intv, min_seed):
             lmax, _ = fns["find_longest"](qbuf32, row, pivot, jnp.maximum(v, 1))
             lmax = jnp.where(v <= 0, 0, lmax)
             active0 = lmax >= min_seed
@@ -612,7 +676,12 @@ class DeviceSeedingEngine:
              e_cnt, advance) = st
             return emit, e_len, e_lb, e_cnt, advance
 
-        self._tr_core = third_round
+        self._tr_core = third_round_core
+
+        def third_round(di, qbuf32, row, pivot, v, min_intv, min_seed):
+            return third_round_core(raw(di), qbuf32, row, pivot, v, min_intv,
+                                    min_seed)
+
         return jax.jit(third_round)
 
     def _third_round_batch(self, qbuf, codes_list, next_f, smems) -> None:
@@ -666,8 +735,8 @@ class DeviceSeedingEngine:
                 piv[:m] = pivs[off: off + m]
                 v[:m] = vs[off: off + m]
                 em, el, elb, ec, adv = self._tr(
-                    qbuf, jnp.asarray(row), jnp.asarray(piv), jnp.asarray(v),
-                    jnp.int32(opt.max_mem_intv), jnp.int32(s),
+                    self.di, qbuf, jnp.asarray(row), jnp.asarray(piv),
+                    jnp.asarray(v), jnp.int32(opt.max_mem_intv), jnp.int32(s),
                 )
                 emit[off: off + m] = np.asarray(em)[:m]
                 e_len[off: off + m] = np.asarray(el)[:m]

@@ -253,7 +253,8 @@ class FmiDeviceEngine:
             for t, (uk, ul, us, ua) in enumerate(chunk):
                 k[t], l[t], s[t], a[t] = uk, ul, us, ua
             nk, nl, ns = self.fns["backward_ext"](
-                jnp.asarray(k), jnp.asarray(l), jnp.asarray(s), jnp.asarray(a))
+                self.dfm, jnp.asarray(k), jnp.asarray(l), jnp.asarray(s),
+                jnp.asarray(a))
             m = len(chunk)
             outs[0][off: off + m] = np.asarray(nk)[:m]
             outs[1][off: off + m] = np.asarray(nl)[:m]

@@ -15,8 +15,22 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(_repo, ".pytest_cache", "jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import jax  # noqa: E402
 
 if not os.environ.get("BWAMEME_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+try:  # persistent compile cache: the big fused programs compile once
+    from jax.experimental.compilation_cache import compilation_cache as _cc
+
+    _cc.set_cache_dir(os.environ["JAX_COMPILATION_CACHE_DIR"])
+except Exception:
+    pass

@@ -94,19 +94,20 @@ def test_compressed_sa_lookup(small):
 def test_device_kernels_match_host(small):
     idx, fm, opt, code, rng = small
     host = FmiHostEngine(idx, opt, fm=fm)
-    fns = make_fmi_fns(DeviceFmIndex.from_host(fm))
+    dfm = DeviceFmIndex.from_host(fm)
+    fns = make_fmi_fns(dfm)
     B = 128
     ks = rng.integers(0, fm.n + 1, B).astype(np.int32)
     ss = np.minimum(rng.integers(0, 50, B), fm.n + 1 - ks).astype(np.int32)
     ls = rng.integers(0, fm.n + 1, B).astype(np.int32)
     aa = rng.integers(0, 4, B).astype(np.int32)
     nk, nl, ns = fns["backward_ext"](
-        jnp.asarray(ks), jnp.asarray(ls), jnp.asarray(ss), jnp.asarray(aa))
+        dfm, jnp.asarray(ks), jnp.asarray(ls), jnp.asarray(ss), jnp.asarray(aa))
     for t in range(B):
         want = host.backward_ext(int(ks[t]), int(ls[t]), int(ss[t]), int(aa[t]))
         assert (int(nk[t]), int(nl[t]), int(ns[t])) == want
     ranks = rng.integers(0, fm.n + 1, 256).astype(np.int32)
-    got = np.asarray(fns["sa_lookup"](jnp.asarray(ranks)))
+    got = np.asarray(fns["sa_lookup"](dfm, jnp.asarray(ranks)))
     assert np.array_equal(got, fm.sa[ranks])
 
 
