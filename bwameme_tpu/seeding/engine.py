@@ -49,13 +49,20 @@ class DeviceSeedingEngine:
         self.lanes = lanes
         self._tr = self._build_third_round()
         self._fused_step1 = self._build_fused_step1()
+        self._fused_step2 = self._build_fused_step2()
         self._fused_step3 = self._build_fused_step3()
         self.max_smems = 96  # per-read emission capacity in the fused kernels
         self.use_fused = True
-        # fused step 3 nests the level-walk inside the pivot sweep (the only
-        # remaining depth-2 program); the host-driven sweep uses the same
-        # depth-1 kernel in a handful of waves and compiles far faster
-        self.fuse_step3 = False
+        # steps 2 and 3 as single fused dispatches (depth-2 programs,
+        # ~2 min one-time TPU compile each, persistent-cached); the
+        # host-driven waves remain as the fallback path. Env knob so the
+        # (CPU-compiled) test suite can skip the two big compiles per
+        # engine instance; a dedicated parity test covers the fused path.
+        import os as _os
+
+        _f23 = _os.environ.get("BWAMEME_FUSE_STEPS23", "1") == "1"
+        self.fuse_step3 = _f23
+        self.fuse_step2 = _f23
 
     # ------------------------------------------------------------- packing
     @staticmethod
@@ -227,7 +234,10 @@ class DeviceSeedingEngine:
                      int(cnts[i, k]))
                 for k in range(int(nsm[i]))
             ])
-        self._step2_host(qbuf, codes_list, next_f, next_r, smems)
+        if self.fuse_step2:
+            self._step2_fused(qbuf, codes_list, nf, nr, lens, smems)
+        else:
+            self._step2_host(qbuf, codes_list, next_f, next_r, smems)
         if opt.max_mem_intv > 0:
             if self.fuse_step3:
                 s3 = self._fused_step3(
@@ -416,6 +426,148 @@ class DeviceSeedingEngine:
                     if m >= minseed:
                         smems[i].append(Smem(piv, piv + m, int(lb[k]), int(cnt[k])))
             jobs = nxt
+
+    # ---------------------------------------------------- fused step 2
+    def _build_fused_step2(self):
+        """The whole step-2 reseed wave set as ONE device program: each lane
+        is one reseed job (a Learned_getSMEMsOnePosOneThread machine with its
+        own min_intv, reference: src/LearnedIndex_seeding.cpp:1898-2128),
+        iterated by a while_loop around the widening sa_query body."""
+        raw = self.fns["raw"]
+        RLEN, LEFT2, REMZ, REM, DONE2 = 0, 1, 2, 3, 4
+
+        def fused(di, qbuf, nf, nr, lens_r, job_read, job_piv, job_mi,
+                  job_act, minseed, M):
+            fns = raw(di)
+            R, Lp = nf.shape
+            J = job_read.shape[0]
+            lane = jnp.arange(J, dtype=jnp.int32)
+            nf_f = nf.reshape(-1)
+            nr_f = nr.reshape(-1)
+
+            def tabf(pos):
+                return jnp.take(nf_f, job_read * Lp + jnp.clip(pos, 0, Lp - 1),
+                                mode="clip")
+
+            def tabr(pos):
+                return jnp.take(nr_f, job_read * Lp + jnp.clip(pos, 0, Lp - 1),
+                                mode="clip")
+
+            lens = jnp.take(lens_r, job_read, mode="clip")
+            prev_valid = (job_piv > 0) & (tabf(job_piv - 1) != job_piv - 1)
+            phase0 = jnp.where(
+                job_act, jnp.where(prev_valid, RLEN, REM), DONE2
+            ).astype(jnp.int32)
+            st0 = dict(
+                phase=phase0, p=job_piv.astype(jnp.int32),
+                npv=jnp.zeros(J, jnp.int32),
+                psp=job_piv.astype(jnp.int32),
+                nsm=jnp.zeros(J, jnp.int32),
+                starts=jnp.zeros((J, M + 1), jnp.int32),
+                ends=jnp.zeros((J, M + 1), jnp.int32),
+                lbs=jnp.zeros((J, M + 1), jnp.int32),
+                cnts=jnp.zeros((J, M + 1), jnp.int32),
+            )
+
+            def cond(st):
+                return jnp.any(st["phase"] != DONE2)
+
+            def body(st):
+                phase, p, npv, psp = st["phase"], st["p"], st["npv"], st["psp"]
+                active = phase != DONE2
+                is_left = phase == LEFT2
+                lp = lens - 1 - p
+                row = jnp.where(is_left, R + job_read, job_read)
+                piv_q = jnp.where(is_left, lp, p)
+                v_raw = jnp.where(is_left, tabr(lp) - lp, tabf(p) - p)
+                v = jnp.where(active, v_raw, 0).astype(jnp.int32)
+                mlen, lb, cnt = fns["sa_query"](qbuf, row, piv_q, v, job_mi)
+                mlen = mlen.astype(jnp.int32)
+                emit = active & ((phase == REMZ) | (phase == REM)) & \
+                    (mlen >= minseed)
+                slot = jnp.where(emit & (st["nsm"] < M), st["nsm"], M)
+                starts = st["starts"].at[lane, slot].set(p)
+                ends = st["ends"].at[lane, slot].set(p + mlen)
+                lbs = st["lbs"].at[lane, slot].set(lb.astype(jnp.int32))
+                cnts = st["cnts"].at[lane, slot].set(cnt.astype(jnp.int32))
+                nsm = st["nsm"] + (emit & (st["nsm"] < M))
+
+                # transitions (reference flow: rlen -> left <-> remit_z)
+                npv_rlen = p + mlen
+                ph_rlen = jnp.where(p < npv_rlen, LEFT2, DONE2)
+                p2 = p - mlen + 1
+                ph_left = jnp.where(npv - p2 >= minseed, REMZ, DONE2)
+                sp = p + mlen
+                sp = jnp.where(sp <= psp, psp + 1, sp)
+                ph_remz = jnp.where(sp < npv, LEFT2, DONE2)
+
+                new_phase = jnp.where(
+                    phase == RLEN, ph_rlen,
+                    jnp.where(phase == LEFT2, ph_left,
+                              jnp.where(phase == REMZ, ph_remz, DONE2)),
+                ).astype(jnp.int32)
+                new_p = jnp.where(
+                    phase == RLEN, p,
+                    jnp.where(phase == LEFT2, p2,
+                              jnp.where(phase == REMZ, sp, p)),
+                )
+                new_npv = jnp.where(phase == RLEN, npv_rlen, npv)
+                new_psp = jnp.where(
+                    phase == RLEN, p, jnp.where(phase == REMZ, sp, psp)
+                )
+                keep = active
+                return dict(
+                    phase=jnp.where(keep, new_phase, phase),
+                    p=jnp.where(keep, new_p, p),
+                    npv=jnp.where(keep, new_npv, npv),
+                    psp=jnp.where(keep, new_psp, psp),
+                    nsm=nsm, starts=starts, ends=ends, lbs=lbs, cnts=cnts,
+                )
+
+            st = jax.lax.while_loop(cond, body, st0)
+            return st["starts"], st["ends"], st["lbs"], st["cnts"], st["nsm"]
+
+        return jax.jit(fused, static_argnames=("M",))
+
+    def _step2_fused(self, qbuf, codes_list, nf, nr, lens, smems) -> None:
+        """Step-2 reseeds as one device dispatch per lane-chunk."""
+        opt = self.opt
+        M2 = 16
+        jobs = []
+        for i, sm_list in enumerate(smems):
+            codes = codes_list[i]
+            for sm in list(sm_list):
+                if (sm.end - sm.start) < opt.split_len or \
+                        sm.hitcount > opt.split_width:
+                    continue
+                piv = (sm.start + sm.end) >> 1
+                if codes[piv] >= 4:
+                    continue
+                jobs.append((i, piv, sm.hitcount + 1))
+        if not jobs:
+            return
+        lanes = self.lanes
+        for off in range(0, len(jobs), lanes):
+            chunk = jobs[off: off + lanes]
+            J = lanes
+            jr = np.zeros(J, np.int32)
+            jp = np.zeros(J, np.int32)
+            jm = np.ones(J, np.int32)
+            ja = np.zeros(J, bool)
+            for t, (i, piv, mi) in enumerate(chunk):
+                jr[t], jp[t], jm[t], ja[t] = i, piv, mi, True
+            out = self._fused_step2(
+                self.di, qbuf, nf, nr, lens, jnp.asarray(jr), jnp.asarray(jp),
+                jnp.asarray(jm), jnp.asarray(ja),
+                jnp.int32(opt.min_seed_len), M=M2,
+            )
+            st, en, lb, cn, ns = (np.asarray(x) for x in out)
+            for t, (i, piv, mi) in enumerate(chunk):
+                for k in range(int(ns[t])):
+                    smems[i].append(
+                        Smem(int(st[t, k]), int(en[t, k]), int(lb[t, k]),
+                             int(cn[t, k]))
+                    )
 
     # ------------------------------------------------- fused device kernels
     def _build_fused_step1(self):

@@ -21,6 +21,10 @@ os.environ.setdefault(
     os.path.join(_repo, ".pytest_cache", "jax_cache"),
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# engines default to host-driven waves for rounds 2/3 in tests (the fused
+# dispatches compile two extra big programs per engine instance; a dedicated
+# parity test in test_device_seeding covers them once)
+os.environ.setdefault("BWAMEME_FUSE_STEPS23", "0")
 
 import jax  # noqa: E402
 

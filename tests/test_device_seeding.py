@@ -90,3 +90,27 @@ def test_short_and_edge_reads(engines):
         np.zeros(40, np.uint8),                      # poly-A
     ]
     _cmp(host_eng, dev_eng, reads)
+
+
+def test_fully_fused_steps_parity(engines):
+    """Steps 2+3 as single fused dispatches must equal the host-driven
+    waves (production defaults run fused; tests default host-driven)."""
+    host, dev, idx, rng = engines
+    from bwameme_tpu.seeding.engine import DeviceSeedingEngine
+
+    fused = DeviceSeedingEngine(idx, dev.opt, lanes=dev.lanes)
+    fused.fuse_step2 = True
+    fused.fuse_step3 = True
+    reads = []
+    for t in range(6):
+        pos = int(rng.integers(0, idx.l_pac - 130))
+        r = idx.text[pos: pos + 100].copy()
+        r[int(rng.integers(0, 100))] = int(rng.integers(0, 4))
+        if t % 3 == 0:
+            r[int(rng.integers(0, 100))] = 4
+        reads.append(r)
+    a = fused.sorted_smems_batch(reads)
+    b = dev.sorted_smems_batch(reads)
+    for x, y in zip(a, b):
+        assert [(s.start, s.end, s.sa_lo, s.hitcount) for s in x] == \
+               [(s.start, s.end, s.sa_lo, s.hitcount) for s in y]
