@@ -49,7 +49,7 @@ class DeviceSeedingEngine:
         self.lanes = lanes
         self._tr = self._build_third_round()
         self._fused_step1 = self._build_fused_step1()
-        self._fused_step2 = self._build_fused_step2()
+        self._fused_step2 = self._build_fused_step2b()
         self._fused_step3 = self._build_fused_step3()
         self.max_smems = 96  # per-read emission capacity in the fused kernels
         self.use_fused = True
@@ -212,21 +212,35 @@ class DeviceSeedingEngine:
         return self._collect_hostdriven(codes_list)
 
     def _collect_fused(self, codes_list: list[np.ndarray]) -> list[list[Smem]]:
-        """Fused path: one device dispatch for step 1, a short host-driven
-        loop for the (rare) step-2 reseeds, one dispatch for step 3."""
+        """Fused path: the three seeding rounds enqueue as (up to) three
+        device dispatches with NO host sync in between -- step 2 derives its
+        reseed jobs on device from step 1's device-resident output, step 3 is
+        independent -- followed by a single host transfer."""
         opt = self.opt
         R = len(codes_list)
         M = self.max_smems
+        M2 = 16
         qbuf, next_f, next_r = self._prepare(codes_list)
         nf, nr, nvf, lens = self._prepare_fused(codes_list)
-        starts, ends, lbs, cnts, nsm = self._fused_step1(
+        d1 = self._fused_step1(
             self.di, qbuf, nf, nr, nvf, lens, jnp.int32(opt.min_seed_len), M=M
         )
-        starts = np.asarray(starts)
-        ends = np.asarray(ends)
-        lbs = np.asarray(lbs)
-        cnts = np.asarray(cnts)
-        nsm = np.asarray(nsm)
+        st1, en1, lb1, cn1, ns1 = d1
+        d2 = None
+        if self.fuse_step2:
+            d2 = self._fused_step2(
+                self.di, qbuf, nf, nr, lens, st1, en1, cn1, ns1,
+                jnp.int32(opt.split_len), jnp.int32(opt.split_width),
+                jnp.int32(opt.min_seed_len), M1=M, M2=M2,
+            )
+        d3 = None
+        if opt.max_mem_intv > 0 and self.fuse_step3:
+            d3 = self._fused_step3(
+                self.di, qbuf, nf, lens, jnp.int32(opt.max_mem_intv),
+                jnp.int32(opt.min_seed_len + 1), M=M,
+            )
+
+        starts, ends, lbs, cnts, nsm = (np.asarray(x) for x in d1)
         smems: list[list[Smem]] = []
         for i in range(R):
             smems.append([
@@ -234,17 +248,19 @@ class DeviceSeedingEngine:
                      int(cnts[i, k]))
                 for k in range(int(nsm[i]))
             ])
-        if self.fuse_step2:
-            self._step2_fused(qbuf, codes_list, nf, nr, lens, smems)
+        if d2 is not None:
+            st2, en2, lb2, cn2, ns2 = (np.asarray(x) for x in d2)
+            for i in range(R):
+                for k in range(int(ns2[i])):
+                    smems[i].append(
+                        Smem(int(st2[i, k]), int(en2[i, k]), int(lb2[i, k]),
+                             int(cn2[i, k]))
+                    )
         else:
             self._step2_host(qbuf, codes_list, next_f, next_r, smems)
         if opt.max_mem_intv > 0:
-            if self.fuse_step3:
-                s3 = self._fused_step3(
-                    self.di, qbuf, nf, lens, jnp.int32(opt.max_mem_intv),
-                    jnp.int32(opt.min_seed_len + 1), M=M,
-                )
-                st3, en3, lb3, cn3, ns3 = (np.asarray(x) for x in s3)
+            if d3 is not None:
+                st3, en3, lb3, cn3, ns3 = (np.asarray(x) for x in d3)
                 for i in range(R):
                     for k in range(int(ns3[i])):
                         smems[i].append(
@@ -427,72 +443,103 @@ class DeviceSeedingEngine:
                         smems[i].append(Smem(piv, piv + m, int(lb[k]), int(cnt[k])))
             jobs = nxt
 
-    # ---------------------------------------------------- fused step 2
-    def _build_fused_step2(self):
-        """The whole step-2 reseed wave set as ONE device program: each lane
-        is one reseed job (a Learned_getSMEMsOnePosOneThread machine with its
-        own min_intv, reference: src/LearnedIndex_seeding.cpp:1898-2128),
-        iterated by a while_loop around the widening sa_query body."""
+    # ------------------------------------- fused step 2, device-derived
+    def _build_fused_step2b(self):
+        """Step 2 with job derivation ON DEVICE from step-1's (still
+        device-resident) output slots: each lane is a read whose cursor scans
+        its step-1 SMEM slots for qualifying reseeds (reference filter:
+        src/bwamem.cpp:760-778) and runs each job's OnePos machine in place.
+        No host sync between rounds -- steps 1, 2, 3 enqueue back-to-back."""
         raw = self.fns["raw"]
-        RLEN, LEFT2, REMZ, REM, DONE2 = 0, 1, 2, 3, 4
+        CURSOR, RLEN, LEFT2, REMZ, REM, DONE2 = 0, 1, 2, 3, 4, 5
 
-        def fused(di, qbuf, nf, nr, lens_r, job_read, job_piv, job_mi,
-                  job_act, minseed, M):
+        def fused(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
+                  split_len, split_width, minseed, M1, M2):
             fns = raw(di)
             R, Lp = nf.shape
-            J = job_read.shape[0]
-            lane = jnp.arange(J, dtype=jnp.int32)
+            lane = jnp.arange(R, dtype=jnp.int32)
             nf_f = nf.reshape(-1)
             nr_f = nr.reshape(-1)
+            st1f = st1.reshape(-1)
+            en1f = en1.reshape(-1)
+            cn1f = cn1.reshape(-1)
 
             def tabf(pos):
-                return jnp.take(nf_f, job_read * Lp + jnp.clip(pos, 0, Lp - 1),
+                return jnp.take(nf_f, lane * Lp + jnp.clip(pos, 0, Lp - 1),
                                 mode="clip")
 
             def tabr(pos):
-                return jnp.take(nr_f, job_read * Lp + jnp.clip(pos, 0, Lp - 1),
+                return jnp.take(nr_f, lane * Lp + jnp.clip(pos, 0, Lp - 1),
                                 mode="clip")
 
-            lens = jnp.take(lens_r, job_read, mode="clip")
-            prev_valid = (job_piv > 0) & (tabf(job_piv - 1) != job_piv - 1)
-            phase0 = jnp.where(
-                job_act, jnp.where(prev_valid, RLEN, REM), DONE2
-            ).astype(jnp.int32)
+            def slot(arr_f, k):
+                return jnp.take(arr_f, lane * (M1 + 1) + jnp.clip(k, 0, M1),
+                                mode="clip")
+
+            lens = lens_r
             st0 = dict(
-                phase=phase0, p=job_piv.astype(jnp.int32),
-                npv=jnp.zeros(J, jnp.int32),
-                psp=job_piv.astype(jnp.int32),
-                nsm=jnp.zeros(J, jnp.int32),
-                starts=jnp.zeros((J, M + 1), jnp.int32),
-                ends=jnp.zeros((J, M + 1), jnp.int32),
-                lbs=jnp.zeros((J, M + 1), jnp.int32),
-                cnts=jnp.zeros((J, M + 1), jnp.int32),
+                phase=jnp.where(nsm1 > 0, CURSOR, DONE2).astype(jnp.int32),
+                k=jnp.zeros(R, jnp.int32),
+                p=jnp.zeros(R, jnp.int32),
+                npv=jnp.zeros(R, jnp.int32),
+                psp=jnp.zeros(R, jnp.int32),
+                mi=jnp.ones(R, jnp.int32),
+                nsm=jnp.zeros(R, jnp.int32),
+                starts=jnp.zeros((R, M2 + 1), jnp.int32),
+                ends=jnp.zeros((R, M2 + 1), jnp.int32),
+                lbs=jnp.zeros((R, M2 + 1), jnp.int32),
+                cnts=jnp.zeros((R, M2 + 1), jnp.int32),
             )
 
             def cond(st):
                 return jnp.any(st["phase"] != DONE2)
 
             def body(st):
-                phase, p, npv, psp = st["phase"], st["p"], st["npv"], st["psp"]
-                active = phase != DONE2
+                phase, k = st["phase"], st["k"]
+                p, npv, psp, mi = st["p"], st["npv"], st["psp"], st["mi"]
+
+                # ---- cursor lanes: inspect slot k
+                valid_slot = k < nsm1
+                s_ = slot(st1f, k)
+                e_ = slot(en1f, k)
+                c_ = slot(cn1f, k)
+                piv = (s_ + e_) >> 1
+                qual = valid_slot & (e_ - s_ >= split_len) & \
+                    (c_ <= split_width) & (tabf(piv) != piv)
+                prev_valid = (piv > 0) & (tabf(piv - 1) != piv - 1)
+                is_cur = phase == CURSOR
+                ph_from_cur = jnp.where(
+                    ~valid_slot, DONE2,
+                    jnp.where(qual, jnp.where(prev_valid, RLEN, REM), CURSOR),
+                ).astype(jnp.int32)
+                k_from_cur = jnp.where(valid_slot & ~qual, k + 1, k)
+                phase = jnp.where(is_cur, ph_from_cur, phase)
+                k = jnp.where(is_cur, k_from_cur, k)
+                p = jnp.where(is_cur & qual, piv, p)
+                psp = jnp.where(is_cur & qual, piv, psp)
+                mi = jnp.where(is_cur & qual, c_ + 1, mi)
+                started = is_cur & qual  # machine starts NEXT iteration
+
+                # ---- machine lanes: one query step
+                is_m = ((phase == RLEN) | (phase == LEFT2) | (phase == REMZ)
+                        | (phase == REM)) & (~started)
                 is_left = phase == LEFT2
                 lp = lens - 1 - p
-                row = jnp.where(is_left, R + job_read, job_read)
+                row = jnp.where(is_left, R + lane, lane)
                 piv_q = jnp.where(is_left, lp, p)
                 v_raw = jnp.where(is_left, tabr(lp) - lp, tabf(p) - p)
-                v = jnp.where(active, v_raw, 0).astype(jnp.int32)
-                mlen, lb, cnt = fns["sa_query"](qbuf, row, piv_q, v, job_mi)
+                v = jnp.where(is_m, v_raw, 0).astype(jnp.int32)
+                mlen, lb, cnt = fns["sa_query"](qbuf, row, piv_q, v, mi)
                 mlen = mlen.astype(jnp.int32)
-                emit = active & ((phase == REMZ) | (phase == REM)) & \
+                emit = is_m & ((phase == REMZ) | (phase == REM)) & \
                     (mlen >= minseed)
-                slot = jnp.where(emit & (st["nsm"] < M), st["nsm"], M)
-                starts = st["starts"].at[lane, slot].set(p)
-                ends = st["ends"].at[lane, slot].set(p + mlen)
-                lbs = st["lbs"].at[lane, slot].set(lb.astype(jnp.int32))
-                cnts = st["cnts"].at[lane, slot].set(cnt.astype(jnp.int32))
-                nsm = st["nsm"] + (emit & (st["nsm"] < M))
+                slot_o = jnp.where(emit & (st["nsm"] < M2), st["nsm"], M2)
+                starts = st["starts"].at[lane, slot_o].set(p)
+                ends = st["ends"].at[lane, slot_o].set(p + mlen)
+                lbs = st["lbs"].at[lane, slot_o].set(lb.astype(jnp.int32))
+                cnts = st["cnts"].at[lane, slot_o].set(cnt.astype(jnp.int32))
+                nsm = st["nsm"] + (emit & (st["nsm"] < M2))
 
-                # transitions (reference flow: rlen -> left <-> remit_z)
                 npv_rlen = p + mlen
                 ph_rlen = jnp.where(p < npv_rlen, LEFT2, DONE2)
                 p2 = p - mlen + 1
@@ -504,70 +551,33 @@ class DeviceSeedingEngine:
                 new_phase = jnp.where(
                     phase == RLEN, ph_rlen,
                     jnp.where(phase == LEFT2, ph_left,
-                              jnp.where(phase == REMZ, ph_remz, DONE2)),
-                ).astype(jnp.int32)
+                              jnp.where(phase == REMZ, ph_remz,
+                                        jnp.where(phase == REM, DONE2,
+                                                  phase))))
                 new_p = jnp.where(
                     phase == RLEN, p,
                     jnp.where(phase == LEFT2, p2,
-                              jnp.where(phase == REMZ, sp, p)),
-                )
+                              jnp.where(phase == REMZ, sp, p)))
                 new_npv = jnp.where(phase == RLEN, npv_rlen, npv)
                 new_psp = jnp.where(
-                    phase == RLEN, p, jnp.where(phase == REMZ, sp, psp)
-                )
-                keep = active
-                return dict(
-                    phase=jnp.where(keep, new_phase, phase),
-                    p=jnp.where(keep, new_p, p),
-                    npv=jnp.where(keep, new_npv, npv),
-                    psp=jnp.where(keep, new_psp, psp),
-                    nsm=nsm, starts=starts, ends=ends, lbs=lbs, cnts=cnts,
-                )
+                    phase == RLEN, p, jnp.where(phase == REMZ, sp, psp))
+                # a finished job returns to the cursor at the next slot
+                done_job = is_m & (new_phase == DONE2)
+                new_phase = jnp.where(done_job, CURSOR, new_phase)
+                k = jnp.where(done_job, k + 1, k)
+
+                phase = jnp.where(is_m, new_phase.astype(jnp.int32), phase)
+                p = jnp.where(is_m, new_p, p)
+                npv = jnp.where(is_m, new_npv, npv)
+                psp = jnp.where(is_m, new_psp, psp)
+                return dict(phase=phase, k=k, p=p, npv=npv, psp=psp, mi=mi,
+                            nsm=nsm, starts=starts, ends=ends, lbs=lbs,
+                            cnts=cnts)
 
             st = jax.lax.while_loop(cond, body, st0)
             return st["starts"], st["ends"], st["lbs"], st["cnts"], st["nsm"]
 
-        return jax.jit(fused, static_argnames=("M",))
-
-    def _step2_fused(self, qbuf, codes_list, nf, nr, lens, smems) -> None:
-        """Step-2 reseeds as one device dispatch per lane-chunk."""
-        opt = self.opt
-        M2 = 16
-        jobs = []
-        for i, sm_list in enumerate(smems):
-            codes = codes_list[i]
-            for sm in list(sm_list):
-                if (sm.end - sm.start) < opt.split_len or \
-                        sm.hitcount > opt.split_width:
-                    continue
-                piv = (sm.start + sm.end) >> 1
-                if codes[piv] >= 4:
-                    continue
-                jobs.append((i, piv, sm.hitcount + 1))
-        if not jobs:
-            return
-        lanes = self.lanes
-        for off in range(0, len(jobs), lanes):
-            chunk = jobs[off: off + lanes]
-            J = lanes
-            jr = np.zeros(J, np.int32)
-            jp = np.zeros(J, np.int32)
-            jm = np.ones(J, np.int32)
-            ja = np.zeros(J, bool)
-            for t, (i, piv, mi) in enumerate(chunk):
-                jr[t], jp[t], jm[t], ja[t] = i, piv, mi, True
-            out = self._fused_step2(
-                self.di, qbuf, nf, nr, lens, jnp.asarray(jr), jnp.asarray(jp),
-                jnp.asarray(jm), jnp.asarray(ja),
-                jnp.int32(opt.min_seed_len), M=M2,
-            )
-            st, en, lb, cn, ns = (np.asarray(x) for x in out)
-            for t, (i, piv, mi) in enumerate(chunk):
-                for k in range(int(ns[t])):
-                    smems[i].append(
-                        Smem(int(st[t, k]), int(en[t, k]), int(lb[t, k]),
-                             int(cn[t, k]))
-                    )
+        return jax.jit(fused, static_argnames=("M1", "M2"))
 
     # ------------------------------------------------- fused device kernels
     def _build_fused_step1(self):
