@@ -84,8 +84,8 @@ def _run_round(pairs: list[_Pair], opt, w: int, end_bonus: int):
         return x
     Q, T = bucket(Q), bucket(T)
     Bb = ((B + 63) // 64) * 64
-    q = np.zeros((Bb, Q), np.int32)
-    t = np.zeros((Bb, T), np.int32)
+    q = np.zeros((Bb, Q), np.int8)
+    t = np.zeros((Bb, T), np.int8)
     qlen = np.zeros(Bb, np.int32)
     tlen = np.zeros(Bb, np.int32)
     h0 = np.ones(Bb, np.int32)
@@ -155,9 +155,9 @@ def extend_chains_batch(opt, bns, text: np.ndarray, queries: list[np.ndarray],
                 a.seedlen0 = s.len
                 a.chain = c
                 if s.qbeg:  # left extension pair
-                    qs = query[: s.qbeg][::-1].astype(np.int32)
+                    qs = query[: s.qbeg][::-1]
                     tmp = s.rbeg - rmax0
-                    rs = rseq[:tmp][::-1].astype(np.int32)
+                    rs = rseq[:tmp][::-1]
                     left_pairs.append(
                         _Pair(qs, rs, s.len * opt.a, li, s.aln)
                     )
@@ -168,8 +168,8 @@ def extend_chains_batch(opt, bns, text: np.ndarray, queries: list[np.ndarray],
                 if s.qbeg + s.len != l_query:  # right extension pair
                     qe = s.qbeg + s.len
                     re = s.rbeg + s.len - rmax0
-                    qs = query[qe:].astype(np.int32)
-                    rs = rseq[re:].astype(np.int32)
+                    qs = query[qe:]
+                    rs = rseq[re:]
                     right_pairs.append(_Pair(qs, rs, 0, li, s.aln))
                     a.qe, a.re = qe, rmax0 + re
                 else:

@@ -62,7 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="seeding backend: learned index (P-RMI, the -7 "
                     "path), FM-index (the reference's default backend), or "
                     "ERT (k-mer-root, the -Z path)")
-    pm.add_argument("--batch", type=int, default=512,
+    pm.add_argument("--batch", type=int, default=2048,
                     help="reads per device batch")
     return p
 

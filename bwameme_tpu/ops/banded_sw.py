@@ -50,6 +50,9 @@ def banded_sw_extend_batch(
 ):
     B, Q = q_codes.shape
     T = t_codes.shape[1]
+    # codes may arrive as int8 to quarter the host->device transfer
+    q_codes = q_codes.astype(jnp.int32)
+    t_codes = t_codes.astype(jnp.int32)
     W = Q + 2  # eh arrays are indexed 0..qlen (+1 guard)
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
