@@ -182,6 +182,119 @@ def matesw(opt, bns, text: np.ndarray, pes: list[PeStat], a: AlnReg,
     return n
 
 
+def matesw_prepare(opt, bns, text, pes: list[PeStat], a: AlnReg,
+                   mate_codes: np.ndarray, ma: list[AlnReg]):
+    """Collect the SW problems mem_matesw would solve for anchor `a`
+    (reference: mem_matesw_batch_pre, src/bwamem_pair.cpp:1060-1222).
+    Returns a list of (seq, ref, meta) jobs; no device work."""
+    from bwameme_tpu.align.chain import clamp_to_contig
+
+    l_pac = bns.l_pac
+    l_ms = len(mate_codes)
+    skip = [p.failed for p in pes]
+    for m in ma:
+        r, dist = infer_dir(l_pac, a.rb, m.rb)
+        if pes[r].low <= dist <= pes[r].high:
+            skip[r] = 1
+    if sum(skip) == 4:
+        return []
+    jobs = []
+    for r in range(4):
+        if skip[r]:
+            continue
+        is_rev = (r >> 1) != (r & 1)
+        is_larger = not (r >> 1)
+        if is_rev:
+            seq = np.where(mate_codes < 4, 3 - mate_codes, mate_codes)[::-1]
+        else:
+            seq = mate_codes
+        if not is_rev:
+            rb = a.rb + pes[r].low if is_larger else a.rb - pes[r].high
+            re = (a.rb + pes[r].high if is_larger else a.rb - pes[r].low) + l_ms
+        else:
+            rb = (a.rb + pes[r].low if is_larger else a.rb - pes[r].high) - l_ms
+            re = a.rb + pes[r].high if is_larger else a.rb - pes[r].low
+        rb = max(rb, 0)
+        re = min(re, l_pac << 1)
+        rid = -1
+        if rb < re:
+            rb, re, rid = clamp_to_contig(bns, rb, (rb + re) >> 1, re)
+        if a.rid == rid and re - rb >= opt.min_seed_len:
+            ref = text[rb:re]
+            jobs.append((np.minimum(seq, 4), ref,
+                         dict(is_rev=is_rev, rb=rb, l_ms=l_ms, rid=a.rid,
+                              is_alt=a.is_alt)))
+    return jobs
+
+
+def matesw_apply(opt, bns, meta, aln: dict, ma: list[AlnReg]) -> int:
+    """Fold one batched-SW result back into the mate's region list
+    (reference: mem_matesw_batch_post, src/bwamem_pair.cpp:1225-1487)."""
+    l_pac = bns.l_pac
+    is_rev, rb, l_ms = meta["is_rev"], meta["rb"], meta["l_ms"]
+    if not (aln["score"] >= opt.min_seed_len and aln["qb"] >= 0):
+        return 1
+    b = AlnReg()
+    b.rid = meta["rid"]
+    b.is_alt = meta["is_alt"]
+    b.qb = l_ms - (aln["qe"] + 1) if is_rev else aln["qb"]
+    b.qe = l_ms - aln["qb"] if is_rev else aln["qe"] + 1
+    b.rb = (l_pac << 1) - (rb + aln["te"] + 1) if is_rev else rb + aln["tb"]
+    b.re = (l_pac << 1) - (rb + aln["tb"]) if is_rev else rb + aln["te"] + 1
+    b.score = aln["score"]
+    b.truesc = aln["score"]
+    b.csub = aln["score2"]
+    b.secondary = -1
+    b.seedcov = min(b.re - b.rb, b.qe - b.qb) >> 1
+    pos = len(ma)
+    for i in range(len(ma)):
+        if ma[i].score < b.score:
+            pos = i
+            break
+    ma.insert(pos, b)
+    return 1
+
+
+def sam_pe_batch_rescue(opt, bns, text, pes: list[PeStat],
+                        recs_pairs, regs_pairs) -> None:
+    """Chunk-wide batched mate rescue: collect every mem_matesw SW problem
+    across all pairs, run ONE batched kswv-analog dispatch
+    (ops/sw_full.align_batch), fold results back, dedup touched lists
+    (reference: mem_sam_pe_batch_pre/_batch/_post,
+    src/bwamem_pair.cpp:660-858)."""
+    from bwameme_tpu.ops.sw_full import align_batch
+
+    if opt.flag & MEM_F_NO_RESCUE:
+        return
+    jobs = []
+    owners = []  # (target_list, meta)
+    for (recs, a) in zip(recs_pairs, regs_pairs):
+        for i in range(2):
+            if not a[i]:
+                continue
+            best = a[i][0].score
+            b = [r for r in a[i] if r.score >= best - opt.pen_unpaired]
+            for j, br in enumerate(b):
+                if j >= opt.max_matesw:
+                    break
+                for seq, ref, meta in matesw_prepare(
+                        opt, bns, text, pes, br, recs[1 - i].codes, a[1 - i]):
+                    jobs.append((seq, ref))
+                    owners.append((a[1 - i], meta))
+    if not jobs:
+        return
+    results = align_batch(jobs, opt.mat, opt.o_del, opt.e_del, opt.o_ins,
+                          opt.e_ins, min_sc=opt.min_seed_len * opt.a)
+    touched = set()
+    for (ma, meta), aln in zip(owners, results):
+        matesw_apply(opt, bns, meta, aln, ma)
+        touched.add(id(ma))
+    for (recs, a) in zip(recs_pairs, regs_pairs):
+        for i in range(2):
+            if id(a[i]) in touched:
+                a[i][:] = sort_dedup_patch(opt, bns, None, None, a[i])
+
+
 def mem_pair(opt, bns, pes: list[PeStat], a: list[list[AlnReg]], pair_id: int,
              n_pri: list[int]):
     """Best proper pair selection (reference: mem_pair). Returns
@@ -238,13 +351,16 @@ def mem_pair(opt, bns, pes: list[PeStat], a: list[list[AlnReg]], pair_id: int,
 
 
 def sam_pe(opt, bns, text: np.ndarray, pes: list[PeStat], pair_id: int,
-           recs, regs2: list[list[AlnReg]], rg_id=None) -> tuple[str, str]:
-    """Full PE finalization for one read pair (reference: mem_sam_pe)."""
+           recs, regs2: list[list[AlnReg]], rg_id=None,
+           skip_rescue: bool = False) -> tuple[str, str]:
+    """Full PE finalization for one read pair (reference: mem_sam_pe).
+    skip_rescue=True when mate rescue already ran batched across the chunk
+    (sam_pe_batch_rescue)."""
     from bwameme_tpu.align.finalize import reg2sam
 
     a = regs2
     n_aa = [[], []]
-    if not (opt.flag & MEM_F_NO_RESCUE):
+    if not skip_rescue and not (opt.flag & MEM_F_NO_RESCUE):
         for i in range(2):
             b = [r for r in a[i] if a[i] and r.score >= a[i][0].score - opt.pen_unpaired] if a[i] else []
             for j, br in enumerate(b):

@@ -38,12 +38,20 @@ class ReadRec:
 
 class Aligner:
     def __init__(self, idx: MemeIndex, opt: MemOptions | None = None,
-                 seeding_engine=None, rg_id: str | None = None) -> None:
+                 seeding_engine=None, rg_id: str | None = None,
+                 batched_rescue: bool | None = None) -> None:
         self.idx = idx
         self.opt = opt or MemOptions()
         self.engine = seeding_engine or HostSeedingEngine(idx, self.opt)
         self.rg_id = rg_id
         self.n_processed = 0
+        # PE mate rescue: one batched kswv-analog dispatch per chunk when a
+        # device engine drives seeding (the reference's mem_sam_pe_batch
+        # path); the serial per-pair path otherwise (mem_matesw)
+        if batched_rescue is None:
+            batched_rescue = seeding_engine is not None and hasattr(
+                seeding_engine, "collect_smems_batch")
+        self.batched_rescue = batched_rescue
 
     def _encode(self, read: Read) -> ReadRec:
         codes = NT4_TABLE[np.frombuffer(read.seq.encode(), dtype=np.uint8)]
@@ -140,13 +148,19 @@ class Aligner:
 
         # insert-size statistics over the whole chunk
         pes = pairing.pestat(opt, bns.l_pac, deduped)
+        if self.batched_rescue:
+            recs_pairs = [(recs[i], recs[i + 1]) for i in range(0, len(reads), 2)]
+            regs_pairs = [[deduped[i], deduped[i + 1]]
+                          for i in range(0, len(reads), 2)]
+            pairing.sam_pe_batch_rescue(opt, bns, text, pes, recs_pairs,
+                                        regs_pairs)
         out = []
         for i in range(0, len(reads), 2):
             pair_id = (self.n_processed >> 1) + (i >> 1)
             s0, s1 = pairing.sam_pe(
                 opt, bns, text, pes, pair_id,
                 [recs[i], recs[i + 1]], [deduped[i], deduped[i + 1]],
-                rg_id=self.rg_id,
+                rg_id=self.rg_id, skip_rescue=self.batched_rescue,
             )
             out.extend([s0, s1])
         self.n_processed += len(reads)

@@ -125,3 +125,29 @@ def test_one_end_unmapped(setup):
     if r2rec["flag"] & FLAG_UNMAP:
         r1rec = next(r for r in last if r["flag"] & FLAG_READ1)
         assert r2rec["rname"] != "*" or r1rec["flag"] & FLAG_UNMAP
+
+
+def test_batched_mate_rescue_matches_serial(setup):
+    """Chunk-wide batched kswv rescue must match the serial mem_matesw path
+    on a chunk without cascading rescues."""
+    idx, aligner, rng = setup
+    from bwameme_tpu.pipeline import Aligner
+
+    reads = []
+    n = idx.l_pac
+    for i in range(6):
+        pos = int(rng.integers(200, n - 700))
+        isize = int(rng.integers(250, 400))
+        c1 = idx.text[pos: pos + 100].copy()
+        c2 = (3 - idx.text[pos + isize - 100: pos + isize][::-1]).astype("uint8")
+        # knock out one mate's seeds to force a rescue for some pairs
+        if i % 3 == 0:
+            c2[10:90:7] = (c2[10:90:7] + 1) % 4
+        s1 = "".join("ACGT"[x] for x in c1)
+        s2 = "".join("ACGT"[x] for x in c2)
+        from bwameme_tpu.io.fastq import Read
+        reads.append(Read(f"p{i}", s1, "I" * 100, None))
+        reads.append(Read(f"p{i}", s2, "I" * 100, None))
+    serial = Aligner(idx, aligner.opt, batched_rescue=False)
+    batched = Aligner(idx, aligner.opt, batched_rescue=True)
+    assert serial.align_pairs(reads) == batched.align_pairs(reads)
