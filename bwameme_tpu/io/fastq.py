@@ -23,6 +23,12 @@ class Read:
 
 
 def _open(path: str):
+    """Open a reads source: plain file, .gz, or '-' for stdin (the file/pipe
+    subset of the reference's kopen, src/kopen.cpp)."""
+    if path == "-":
+        import sys
+
+        return sys.stdin
     return gzip.open(path, "rt") if path.endswith(".gz") else open(path, "rt")
 
 
