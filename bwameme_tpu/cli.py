@@ -153,8 +153,9 @@ def cmd_mem(args) -> int:
             if paired:
                 blocks = aligner.align_pairs(chunk)
             else:
-                for i in range(0, len(chunk), args.batch):
-                    blocks = aligner.align_batch(chunk[i: i + args.batch])
+                batches = (chunk[i: i + args.batch]
+                           for i in range(0, len(chunk), args.batch))
+                for blocks in aligner.align_stream(batches):
                     with timer.stage("write"):
                         sys.stdout.writelines(blocks)
                 blocks = []

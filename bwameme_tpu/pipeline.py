@@ -67,15 +67,54 @@ class Aligner:
     def align_batch(self, reads: list[Read]) -> list[str]:
         """Align a batch of single-end reads; returns SAM line blocks
         (one string per read, possibly multi-line)."""
+        recs = [self._encode(r) for r in reads]
+        smems_per_read = self.collect_smems(recs)
+        return self._align_from_smems(recs, smems_per_read)
+
+    def align_stream(self, batches):
+        """Double-buffered single-end alignment over an iterable of read
+        batches: the next batch's seeding dispatches run on device while the
+        current batch's chaining/extension/finalize run on the host -- the
+        analog of the reference's 3-stage ktp pipeline (src/fastmap.cpp:
+        730-907). Yields SAM blocks per batch, in order."""
+        engine = self.engine
+        pending = None
+        for reads in batches:
+            recs = [self._encode(r) for r in reads]
+            token = None
+            if hasattr(engine, "submit_batch"):
+                try:
+                    token = engine.submit_batch([r.codes for r in recs])
+                except Exception:
+                    engine.use_fused = False
+                    token = None
+            if pending is not None:
+                yield self._finish_stream(pending)
+            pending = (recs, token)
+        if pending is not None:
+            yield self._finish_stream(pending)
+
+    def _finish_stream(self, item):
+        recs, token = item
+        if token is not None:
+            try:
+                smems = self.engine.finish_batch(token)
+            except Exception:
+                self.engine.use_fused = False
+                smems = self.collect_smems(recs)
+        else:
+            smems = self.collect_smems(recs)
+        return self._align_from_smems(recs, smems)
+
+    def _align_from_smems(self, recs: list[ReadRec],
+                          smems_per_read) -> list[str]:
+        """Kernels 2-3 for an already-seeded batch."""
         opt = self.opt
         idx = self.idx
         bns = idx.bns
         text = idx.text
-        recs = [self._encode(r) for r in reads]
         sa_pos = getattr(self.engine, "sa_positions", idx.sa)
 
-        # kernel 1: seeds -> chains
-        smems_per_read = self.collect_smems(recs)
         chains_per_read = []
         for rec, smems in zip(recs, smems_per_read):
             chains = chain_mod.chain_seeds(opt, bns, len(rec.codes), smems, sa_pos)
@@ -108,7 +147,7 @@ class Aligner:
             sam = finalize.reg2sam(opt, bns, text, rec, rec.codes, regs,
                                    rg_id=self.rg_id, XA=XA)
             out.append(sam)
-        self.n_processed += len(reads)
+        self.n_processed += len(recs)
         return out
 
     def align_pairs(self, reads: list[Read]) -> list[str]:

@@ -211,13 +211,15 @@ class DeviceSeedingEngine:
                 self.use_fused = False
         return self._collect_hostdriven(codes_list)
 
-    def _collect_fused(self, codes_list: list[np.ndarray]) -> list[list[Smem]]:
-        """Fused path: the three seeding rounds enqueue as (up to) three
-        device dispatches with NO host sync in between -- step 2 derives its
-        reseed jobs on device from step 1's device-resident output, step 3 is
-        independent -- followed by a single host transfer."""
+    def submit_batch(self, codes_list: list[np.ndarray]):
+        """Enqueue the (up to) three fused seeding dispatches for a batch and
+        return a token WITHOUT waiting -- JAX dispatch is async, so the
+        device computes while the host works on the previous batch (the
+        ktp-pipeline analog, reference: src/fastmap.cpp:730-907). Pair with
+        finish_batch(). Falls back to None when the fused path is off."""
+        if not self.use_fused:
+            return None
         opt = self.opt
-        R = len(codes_list)
         M = self.max_smems
         M2 = 16
         qbuf, next_f, next_r = self._prepare(codes_list)
@@ -239,7 +241,13 @@ class DeviceSeedingEngine:
                 self.di, qbuf, nf, lens, jnp.int32(opt.max_mem_intv),
                 jnp.int32(opt.min_seed_len + 1), M=M,
             )
+        return (codes_list, qbuf, next_f, next_r, d1, d2, d3)
 
+    def finish_batch(self, token) -> list[list[Smem]]:
+        """Materialize a submit_batch token into per-read SMEM lists."""
+        codes_list, qbuf, next_f, next_r, d1, d2, d3 = token
+        opt = self.opt
+        R = len(codes_list)
         starts, ends, lbs, cnts, nsm = (np.asarray(x) for x in d1)
         smems: list[list[Smem]] = []
         for i in range(R):
@@ -270,6 +278,13 @@ class DeviceSeedingEngine:
             else:
                 self._third_round_batch(qbuf, codes_list, next_f, smems)
         return smems
+
+    def _collect_fused(self, codes_list: list[np.ndarray]) -> list[list[Smem]]:
+        """Fused path: the three seeding rounds enqueue as (up to) three
+        device dispatches with NO host sync in between -- step 2 derives its
+        reseed jobs on device from step 1's device-resident output, step 3 is
+        independent -- followed by a single host transfer."""
+        return self.finish_batch(self.submit_batch(codes_list))
 
     def _collect_hostdriven(self, codes_list: list[np.ndarray]) -> list[list[Smem]]:
         opt = self.opt

@@ -205,3 +205,23 @@ def test_xa_tag_on_duplicated_region(setup):
     other_pos = int(r["tags"]["XA"].split(",")[1])
     positions = sorted([r["pos"], abs(other_pos)])
     assert positions == [101, 2601], (positions, r)
+
+
+def test_align_stream_matches_align_batch(setup):
+    idx, aligner, rng = setup
+    from bwameme_tpu.seeding.engine import DeviceSeedingEngine
+    from bwameme_tpu.pipeline import Aligner
+
+    reads = [_mk_read(idx, 1000 + 300 * i, 100, rng, nmut=1, rc=bool(i % 2),
+                      name=f"s{i}") for i in range(10)]
+    a1 = Aligner(idx, seeding_engine=DeviceSeedingEngine(idx, aligner.opt,
+                                                         lanes=256))
+    a2 = Aligner(idx, seeding_engine=DeviceSeedingEngine(idx, aligner.opt,
+                                                         lanes=256))
+    want = []
+    for i in range(0, 10, 4):
+        want.extend(a1.align_batch(reads[i: i + 4]))
+    got = []
+    for blocks in a2.align_stream(reads[i: i + 4] for i in range(0, 10, 4)):
+        got.extend(blocks)
+    assert got == want
