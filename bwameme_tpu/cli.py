@@ -16,17 +16,20 @@ from bwameme_tpu import __version__
 
 
 def build_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(prog="bwameme-tpu")
+    p = argparse.ArgumentParser(prog="bwameme-tpu", add_help=False)
+    p.add_argument("--help", action="help")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    pi = sub.add_parser("index", help="build the learned (P-RMI) index")
+    pi = sub.add_parser("index", help="build the learned (P-RMI) index", add_help=False)
+    pi.add_argument("--help", action="help")
     pi.add_argument("fasta")
     pi.add_argument("-p", "--prefix", default=None, help="index prefix")
     pi.add_argument("--rmi-bits", type=int, default=None)
     pi.add_argument("--no-isa", action="store_true",
                     help="skip the inverse suffix array (MODE<3 semantics)")
 
-    pm = sub.add_parser("mem", help="align reads, print SAM on stdout")
+    pm = sub.add_parser("mem", help="align reads, print SAM on stdout", add_help=False)
+    pm.add_argument("--help", action="help")
     pm.add_argument("prefix", help="index prefix (from `index`)")
     pm.add_argument("reads1")
     pm.add_argument("reads2", nargs="?", default=None)
@@ -52,6 +55,40 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("-a", action="store_true", help="output all alignments")
     pm.add_argument("-5", dest="primary5", action="store_true",
                     help="always take the leftmost alignment as primary")
+    pm.add_argument("-p", dest="smartpe", action="store_true",
+                    help="smart pairing: reads1 is interleaved paired-end")
+    pm.add_argument("-P", dest="nopairing", action="store_true",
+                    help="skip pairing; mate rescue only")
+    pm.add_argument("-S", dest="norescue", action="store_true",
+                    help="skip mate rescue")
+    pm.add_argument("-M", dest="nomulti", action="store_true",
+                    help="mark shorter split hits as secondary")
+    pm.add_argument("-q", dest="keepsuppmapq", action="store_true",
+                    help="don't modify mapq of supplementary alignments")
+    pm.add_argument("-V", dest="refhdr", action="store_true",
+                    help="output the reference header in the XR tag")
+    pm.add_argument("-j", dest="ignore_alt", action="store_true",
+                    help="treat ALT contigs as part of the primary assembly")
+    pm.add_argument("-s", dest="split_width", type=int, default=10,
+                    help="reseed if there are fewer than INT hits")
+    pm.add_argument("-D", dest="drop_ratio", type=float, default=0.50,
+                    help="drop chains shorter than FLOAT of the longest")
+    pm.add_argument("-W", dest="min_chain_weight", type=int, default=0,
+                    help="discard chains with seeded bases shorter than INT")
+    pm.add_argument("-m", dest="max_matesw", type=int, default=50,
+                    help="perform at most INT rounds of mate rescue")
+    pm.add_argument("-G", dest="max_chain_gap", type=int, default=10000,
+                    help="max chaining gap")
+    pm.add_argument("-N", dest="max_chain_extend", type=int,
+                    default=1 << 30, help="max chain extension")
+    pm.add_argument("-X", dest="mask_level", type=float, default=0.50,
+                    help="mask level")
+    pm.add_argument("-h", dest="xa_hits", default=None,
+                    help="INT[,INT] max XA hits (non-ALT[,ALT])")
+    pm.add_argument("-y", dest="max_mem_intv", type=int, default=20,
+                    help="seed occurrence threshold for the 3rd round")
+    pm.add_argument("-v", dest="verbose", type=int, default=3,
+                    help="verbosity level")
     pm.add_argument("--engine", choices=["device", "host"], default="device")
     pm.add_argument("-7", dest="learned", action="store_true",
                     help="use the learned (P-RMI) seeding backend (default)")
@@ -89,7 +126,9 @@ def cmd_mem(args) -> int:
     from bwameme_tpu.io import fastq, sam
     from bwameme_tpu.pipeline import Aligner
     from bwameme_tpu.utils.config import (
-        MEM_F_ALL, MEM_F_PE, MEM_F_PRIMARY5, MEM_F_SOFTCLIP, MemOptions,
+        MEM_F_ALL, MEM_F_KEEP_SUPP_MAPQ, MEM_F_NO_MULTI, MEM_F_NO_RESCUE,
+        MEM_F_NOPAIRING, MEM_F_PE, MEM_F_PRIMARY5, MEM_F_REF_HDR,
+        MEM_F_SMARTPE, MEM_F_SOFTCLIP, MemOptions,
     )
     from bwameme_tpu.utils.timer import StageTimer
 
@@ -98,14 +137,35 @@ def cmd_mem(args) -> int:
         e_ins=args.E, w=args.w, zdrop=args.d, min_seed_len=args.k,
         split_factor=args.r, max_occ=args.c, pen_clip5=args.L,
         pen_clip3=args.L, pen_unpaired=args.U, T=args.T,
+        split_width=args.split_width, drop_ratio=args.drop_ratio,
+        min_chain_weight=args.min_chain_weight, max_matesw=args.max_matesw,
+        max_chain_gap=args.max_chain_gap, max_chain_extend=args.max_chain_extend,
+        mask_level=args.mask_level, max_mem_intv=args.max_mem_intv,
     )
+    if args.xa_hits:
+        parts = args.xa_hits.split(",")
+        opt.max_XA_hits = int(parts[0])
+        if len(parts) > 1:
+            opt.max_XA_hits_alt = int(parts[1])
     if args.Y:
         opt.flag |= MEM_F_SOFTCLIP
     if args.a:
         opt.flag |= MEM_F_ALL
     if args.primary5:
-        opt.flag |= MEM_F_PRIMARY5
-    paired = args.reads2 is not None
+        opt.flag |= MEM_F_PRIMARY5 | MEM_F_KEEP_SUPP_MAPQ
+    if args.nopairing:
+        opt.flag |= MEM_F_NOPAIRING
+    if args.norescue:
+        opt.flag |= MEM_F_NO_RESCUE
+    if args.nomulti:
+        opt.flag |= MEM_F_NO_MULTI
+    if args.keepsuppmapq:
+        opt.flag |= MEM_F_KEEP_SUPP_MAPQ
+    if args.refhdr:
+        opt.flag |= MEM_F_REF_HDR
+    paired = args.reads2 is not None or args.smartpe
+    if args.smartpe:
+        opt.flag |= MEM_F_SMARTPE
     if paired:
         opt.flag |= MEM_F_PE
 
@@ -148,7 +208,11 @@ def cmd_mem(args) -> int:
     chunk_bp = args.K if args.K else 10_000_000 * max(args.t, 1)
     n = 0
     t0 = time.time()
-    for chunk in fastq.read_chunks(args.reads1, args.reads2, chunk_bp):
+    if args.ignore_alt:
+        for c in idx.bns.contigs:
+            c.is_alt = False
+    for chunk in fastq.read_chunks(args.reads1, args.reads2, chunk_bp,
+                                   keep_pairs=paired and args.reads2 is None):
         with timer.stage("align"):
             if paired:
                 blocks = aligner.align_pairs(chunk)

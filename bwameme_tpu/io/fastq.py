@@ -69,11 +69,13 @@ def read_chunks(
     path1: str,
     path2: str | None = None,
     chunk_bp: int = 10_000_000,
+    keep_pairs: bool = False,
 ) -> Iterator[list[Read]]:
     """Yield batches of reads totalling >= chunk_bp base pairs (last one
     smaller). With a second file, records are interleaved 1:1 (paired-end),
     and the chunk boundary always falls on an even record count — matching the
-    reference's deterministic chunking contract for ``-K``."""
+    reference's deterministic chunking contract for ``-K``. keep_pairs keeps
+    chunk boundaries even for a single interleaved file (smart pairing -p)."""
     it1 = _iter_records(path1)
     it2 = _iter_records(path2) if path2 else None
     batch: list[Read] = []
@@ -92,7 +94,7 @@ def read_chunks(
             rid += 1
             batch.append(r2)
             size += len(r2.seq)
-        if size >= chunk_bp:
+        if size >= chunk_bp and not (keep_pairs and len(batch) % 2):
             yield batch
             batch, size = [], 0
     if batch:
