@@ -23,6 +23,11 @@ def build_parser() -> argparse.ArgumentParser:
     pi = sub.add_parser("index", help="build the learned (P-RMI) index", add_help=False)
     pi.add_argument("--help", action="help")
     pi.add_argument("fasta")
+    pi.add_argument("-a", dest="algo", choices=["meme", "mem2", "all"],
+                    default="meme",
+                    help="index type: meme = learned P-RMI (default), "
+                    "mem2 = also build the FM-index, all = both "
+                    "(the ERT k-mer root is always rebuilt at load in O(n))")
     pi.add_argument("-p", "--prefix", default=None, help="index prefix")
     pi.add_argument("--rmi-bits", type=int, default=None)
     pi.add_argument("--no-isa", action="store_true",
@@ -118,6 +123,14 @@ def cmd_index(args) -> int:
     save_index(idx, prefix)
     print(f"[index] saved to {prefix}.meme.npz (+ .pac/.ann/.amb)",
           file=sys.stderr)
+    if args.algo in ("mem2", "all"):
+        from bwameme_tpu.index.fmindex import build_fm_index, save_fm_index
+
+        t0 = time.time()
+        fm = build_fm_index(idx.bns.code)
+        save_fm_index(prefix, fm)
+        print(f"[index] FM-index built in {time.time()-t0:.1f}s -> "
+              f"{prefix}.fmi.npz", file=sys.stderr)
     return 0
 
 
@@ -184,12 +197,19 @@ def cmd_mem(args) -> int:
 
         engine = DeviceSeedingEngine(idx, opt, root="kmer")
     elif args.backend == "fmi":
+        import os
+
         from bwameme_tpu.seeding.fmi_engine import FmiDeviceEngine, FmiHostEngine
 
+        fm = None
+        if os.path.exists(args.prefix + ".fmi.npz"):
+            from bwameme_tpu.index.fmindex import load_fm_index
+
+            fm = load_fm_index(args.prefix)
         if args.engine == "device":
-            engine = FmiDeviceEngine(idx, opt)
+            engine = FmiDeviceEngine(idx, opt, fm=fm)
         else:
-            engine = FmiHostEngine(idx, opt)
+            engine = FmiHostEngine(idx, opt, fm=fm)
     elif args.engine == "device":
         from bwameme_tpu.seeding.engine import DeviceSeedingEngine
 
