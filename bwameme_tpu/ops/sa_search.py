@@ -379,13 +379,20 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
 
         def lower_bound(qbuf32, row, pivot, v, wlo, whi, strict_greater=False):
             """First index in [wlo, whi] where suffix >= pattern[:v]
-            (or > pattern[:v] when strict_greater). Fixed-round unrolled
-            binary search (window width < 2^lb_rounds)."""
+            (or > pattern[:v] when strict_greater -- may also be a per-lane
+            bool array). Fixed-round unrolled binary search (window width
+            < 2^lb_rounds)."""
             lo, hi = wlo, whi
+            strict = strict_greater
+            if not isinstance(strict, bool):
+                strict = jnp.asarray(strict)
             for _ in range(lb_rounds):
                 mid = (lo + hi) >> 1
                 less, lcp = suffix_cmp(qbuf32, row, pivot, v, mid)
-                pred = less | (lcp >= v) if strict_greater else less
+                if isinstance(strict, bool):
+                    pred = less | (lcp >= v) if strict else less
+                else:
+                    pred = less | (strict & (lcp >= v))
                 active = lo < hi
                 lo = jnp.where(active & pred, mid + 1, lo)
                 hi = jnp.where(active & (~pred), mid, hi)
@@ -404,7 +411,9 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             return jnp.maximum(l0, l1), ip
 
         def interval_at(qbuf32, row, pivot, l):
-            """(lb, count) of the SA interval of prefix pattern[:l]."""
+            """(lb, count) of the SA interval of prefix pattern[:l]. Both
+            bounds ride ONE double-wide unrolled search (per-lane strict
+            flag) -- half the sequential probe rounds of two searches."""
             khi, klo = extract_pattern_words(qbuf32, row, pivot)
             keep_hi, keep_lo = keep_masks(l)
             khi_a = khi & keep_hi
@@ -413,9 +422,18 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             klo_t = klo_a | ~keep_lo
             wlo_a, whi_a = rmi_window(khi_a, klo_a)
             wlo_t, whi_t = rmi_window(khi_t, klo_t)
-            lb = lower_bound(qbuf32, row, pivot, l, wlo_a, whi_a)
-            ub = lower_bound(qbuf32, row, pivot, l, wlo_t, whi_t,
-                             strict_greater=True)
+            row2 = jnp.concatenate([row, row])
+            piv2 = jnp.concatenate([pivot, pivot])
+            l2 = jnp.concatenate([l, l]) if jnp.ndim(l) else l
+            wlo2 = jnp.concatenate([wlo_a, wlo_t])
+            whi2 = jnp.concatenate([whi_a, whi_t])
+            L = row.shape[0]
+            strict2 = jnp.concatenate([
+                jnp.zeros(L, jnp.bool_), jnp.ones(L, jnp.bool_)])
+            res = lower_bound(qbuf32, row2, piv2, l2, wlo2, whi2,
+                              strict_greater=strict2)
+            lb = res[:L]
+            ub = res[L:]
             return lb, ub - lb
 
         def lcp_at(qbuf32, row, pivot, cap, sa_idx):

@@ -227,11 +227,12 @@ class DeviceSeedingEngine:
         d1 = self._fused_step1(
             self.di, qbuf, nf, nr, nvf, lens, jnp.int32(opt.min_seed_len), M=M
         )
-        st1, en1, lb1, cn1, ns1 = d1
+        slots1, ns1 = d1
         d2 = None
         if self.fuse_step2:
             d2 = self._fused_step2(
-                self.di, qbuf, nf, nr, lens, st1, en1, cn1, ns1,
+                self.di, qbuf, nf, nr, lens, slots1[0], slots1[1], slots1[3],
+                ns1,
                 jnp.int32(opt.split_len), jnp.int32(opt.split_width),
                 jnp.int32(opt.min_seed_len), M1=M, M2=M2,
             )
@@ -248,33 +249,28 @@ class DeviceSeedingEngine:
         codes_list, qbuf, next_f, next_r, d1, d2, d3 = token
         opt = self.opt
         R = len(codes_list)
-        starts, ends, lbs, cnts, nsm = (np.asarray(x) for x in d1)
-        smems: list[list[Smem]] = []
-        for i in range(R):
-            smems.append([
-                Smem(int(starts[i, k]), int(ends[i, k]), int(lbs[i, k]),
-                     int(cnts[i, k]))
-                for k in range(int(nsm[i]))
-            ])
-        if d2 is not None:
-            st2, en2, lb2, cn2, ns2 = (np.asarray(x) for x in d2)
+
+        def unpack(d, smems, append):
+            slots, nsm = np.asarray(d[0]), np.asarray(d[1])
+            starts, ends, lbs, cnts = slots
             for i in range(R):
-                for k in range(int(ns2[i])):
-                    smems[i].append(
-                        Smem(int(st2[i, k]), int(en2[i, k]), int(lb2[i, k]),
-                             int(cn2[i, k]))
-                    )
+                lst = [Smem(int(starts[i, k]), int(ends[i, k]),
+                            int(lbs[i, k]), int(cnts[i, k]))
+                       for k in range(int(nsm[i]))]
+                if append:
+                    smems[i].extend(lst)
+                else:
+                    smems.append(lst)
+
+        smems: list[list[Smem]] = []
+        unpack(d1, smems, append=False)
+        if d2 is not None:
+            unpack(d2, smems, append=True)
         else:
             self._step2_host(qbuf, codes_list, next_f, next_r, smems)
         if opt.max_mem_intv > 0:
             if d3 is not None:
-                st3, en3, lb3, cn3, ns3 = (np.asarray(x) for x in d3)
-                for i in range(R):
-                    for k in range(int(ns3[i])):
-                        smems[i].append(
-                            Smem(int(st3[i, k]), int(en3[i, k]),
-                                 int(lb3[i, k]), int(cn3[i, k]))
-                        )
+                unpack(d3, smems, append=True)
             else:
                 self._third_round_batch(qbuf, codes_list, next_f, smems)
         return smems
@@ -475,9 +471,6 @@ class DeviceSeedingEngine:
             lane = jnp.arange(R, dtype=jnp.int32)
             nf_f = nf.reshape(-1)
             nr_f = nr.reshape(-1)
-            st1f = st1.reshape(-1)
-            en1f = en1.reshape(-1)
-            cn1f = cn1.reshape(-1)
 
             def tabf(pos):
                 return jnp.take(nf_f, lane * Lp + jnp.clip(pos, 0, Lp - 1),
@@ -487,11 +480,31 @@ class DeviceSeedingEngine:
                 return jnp.take(nr_f, lane * Lp + jnp.clip(pos, 0, Lp - 1),
                                 mode="clip")
 
-            def slot(arr_f, k):
-                return jnp.take(arr_f, lane * (M1 + 1) + jnp.clip(k, 0, M1),
-                                mode="clip")
-
             lens = lens_r
+            # ---- per-slot qualification, precomputed (reference filter:
+            # src/bwamem.cpp:760-778), plus a next-qualifying-slot table so
+            # the cursor jumps in one iteration instead of scanning
+            ks = jnp.arange(M1 + 1, dtype=jnp.int32)
+            piv_all = (st1 + en1) >> 1
+            nf_at = jnp.take_along_axis(
+                nf, jnp.clip(piv_all, 0, Lp - 1), axis=1)
+            nf_prev = jnp.take_along_axis(
+                nf, jnp.clip(piv_all - 1, 0, Lp - 1), axis=1)
+            valid_all = ks[None, :] < nsm1[:, None]
+            qual_all = (valid_all & (en1 - st1 >= split_len)
+                        & (cn1 <= split_width) & (nf_at != piv_all))
+            pv_all = (piv_all > 0) & (nf_prev != piv_all - 1)
+            nxt = jnp.full((R,), M1 + 1, jnp.int32)
+            cols = []
+            for kk in range(M1, -1, -1):
+                nxt = jnp.where(qual_all[:, kk], jnp.int32(kk), nxt)
+                cols.append(nxt)
+            nq_f = jnp.stack(cols[::-1], axis=1).reshape(-1)  # (R*(M1+1),)
+            st1f_ = st1.reshape(-1)
+            en1f_ = en1.reshape(-1)
+            cn1f_ = cn1.reshape(-1)
+            pvf_ = pv_all.reshape(-1)
+
             st0 = dict(
                 phase=jnp.where(nsm1 > 0, CURSOR, DONE2).astype(jnp.int32),
                 k=jnp.zeros(R, jnp.int32),
@@ -513,27 +526,26 @@ class DeviceSeedingEngine:
                 phase, k = st["phase"], st["k"]
                 p, npv, psp, mi = st["p"], st["npv"], st["psp"], st["mi"]
 
-                # ---- cursor lanes: inspect slot k
-                valid_slot = k < nsm1
-                s_ = slot(st1f, k)
-                e_ = slot(en1f, k)
-                c_ = slot(cn1f, k)
-                piv = (s_ + e_) >> 1
-                qual = valid_slot & (e_ - s_ >= split_len) & \
-                    (c_ <= split_width) & (tabf(piv) != piv)
-                prev_valid = (piv > 0) & (tabf(piv - 1) != piv - 1)
+                # ---- cursor lanes: jump straight to the next qualifying slot
                 is_cur = phase == CURSOR
+                kk = jnp.clip(k, 0, M1)
+                k_next = jnp.take(nq_f, lane * (M1 + 1) + kk, mode="clip")
+                has = k_next <= M1
+                idx_n = lane * (M1 + 1) + jnp.clip(k_next, 0, M1)
+                s_ = jnp.take(st1f_, idx_n, mode="clip")
+                e_ = jnp.take(en1f_, idx_n, mode="clip")
+                c_ = jnp.take(cn1f_, idx_n, mode="clip")
+                prev_valid = jnp.take(pvf_, idx_n, mode="clip")
+                piv = (s_ + e_) >> 1
                 ph_from_cur = jnp.where(
-                    ~valid_slot, DONE2,
-                    jnp.where(qual, jnp.where(prev_valid, RLEN, REM), CURSOR),
+                    has, jnp.where(prev_valid, RLEN, REM), DONE2
                 ).astype(jnp.int32)
-                k_from_cur = jnp.where(valid_slot & ~qual, k + 1, k)
                 phase = jnp.where(is_cur, ph_from_cur, phase)
-                k = jnp.where(is_cur, k_from_cur, k)
-                p = jnp.where(is_cur & qual, piv, p)
-                psp = jnp.where(is_cur & qual, piv, psp)
-                mi = jnp.where(is_cur & qual, c_ + 1, mi)
-                started = is_cur & qual  # machine starts NEXT iteration
+                k = jnp.where(is_cur, k_next, k)
+                p = jnp.where(is_cur & has, piv, p)
+                psp = jnp.where(is_cur & has, piv, psp)
+                mi = jnp.where(is_cur & has, c_ + 1, mi)
+                started = is_cur & has  # machine starts NEXT iteration
 
                 # ---- machine lanes: one query step
                 is_m = ((phase == RLEN) | (phase == LEFT2) | (phase == REMZ)
@@ -590,7 +602,8 @@ class DeviceSeedingEngine:
                             cnts=cnts)
 
             st = jax.lax.while_loop(cond, body, st0)
-            return st["starts"], st["ends"], st["lbs"], st["cnts"], st["nsm"]
+            return (jnp.stack([st["starts"], st["ends"], st["lbs"],
+                               st["cnts"]]), st["nsm"])
 
         return jax.jit(fused, static_argnames=("M1", "M2"))
 
@@ -711,7 +724,8 @@ class DeviceSeedingEngine:
                 )
 
             st = jax.lax.while_loop(cond, body, st0)
-            return st["starts"], st["ends"], st["lbs"], st["cnts"], st["nsm"]
+            return (jnp.stack([st["starts"], st["ends"], st["lbs"],
+                               st["cnts"]]), st["nsm"])
 
         return jax.jit(fused, static_argnames=("M",))
 
@@ -786,7 +800,8 @@ class DeviceSeedingEngine:
                             ends=ends, lbs=lbs, cnts=cnts)
 
             st = jax.lax.while_loop(cond, body, st0)
-            return st["starts"], st["ends"], st["lbs"], st["cnts"], st["nsm"]
+            return (jnp.stack([st["starts"], st["ends"], st["lbs"],
+                               st["cnts"]]), st["nsm"])
 
         return jax.jit(fused, static_argnames=("M",))
 
