@@ -135,6 +135,68 @@ def chain_seeds(opt, bns, l_query: int, smems: list[Smem], sa: np.ndarray) -> li
     return chains
 
 
+def chain_and_filter_batch(opt, bns, queries: list[np.ndarray],
+                           smems_per_read, sa: np.ndarray) -> list[list[Chain]]:
+    """chain_seeds + filter_chains for a whole batch, through the native C++
+    kernel (native/hostkernels.cpp:chain_and_filter_c) when available; the
+    Python implementations above remain the documented contract and the
+    fallback. Equivalent to the per-read sequence
+    ``filter_chains(opt, chain_seeds(opt, bns, len(q), smems, sa))``."""
+    from bwameme_tpu.align import native
+
+    R = len(queries)
+    counts = [len(s) for s in smems_per_read]
+    total = sum(counts)
+    out = None
+    if native.available() and total:
+        smem_off = np.zeros(R + 1, np.int32)
+        np.cumsum(counts, out=smem_off[1:])
+        st = np.empty(total, np.int32)
+        en = np.empty(total, np.int32)
+        lo = np.empty(total, np.int64)
+        cn = np.empty(total, np.int64)
+        k = 0
+        for smems in smems_per_read:
+            for s in smems:
+                st[k], en[k], lo[k], cn[k] = (s.start, s.end, s.sa_lo,
+                                              s.hitcount)
+                k += 1
+        lq = np.asarray([len(q) for q in queries], np.int32)
+        ctg_off = np.ascontiguousarray(
+            [c.offset for c in bns.contigs], dtype=np.int64)
+        ctg_alt = np.ascontiguousarray(
+            [1 if getattr(c, "is_alt", False) else 0 for c in bns.contigs],
+            dtype=np.uint8)
+        sa64 = np.ascontiguousarray(sa, dtype=np.int64)
+        out = native.chain_and_filter_native(
+            opt, bns, lq, smem_off, st, en, lo, cn, sa64, ctg_off, ctg_alt)
+    if out is None:
+        return [
+            filter_chains(opt, chain_seeds(opt, bns, len(q), smems, sa))
+            for q, smems in zip(queries, smems_per_read)
+        ]
+    (chain_off, chain_pos, chain_rid, chain_is_alt, chain_w, chain_kept,
+     chain_frac_rep, seed_off, seed_rbeg, seed_qbeg, seed_len, _n) = out
+    result: list[list[Chain]] = []
+    for r in range(R):
+        lst = []
+        for ci in range(int(chain_off[r]), int(chain_off[r + 1])):
+            s0, s1 = int(seed_off[ci]), int(seed_off[ci + 1])
+            seeds = [
+                Seed(rbeg=int(seed_rbeg[j]), qbeg=int(seed_qbeg[j]),
+                     len=int(seed_len[j]), score=int(seed_len[j]))
+                for j in range(s0, s1)
+            ]
+            lst.append(Chain(
+                pos=int(chain_pos[ci]), seeds=seeds, rid=int(chain_rid[ci]),
+                is_alt=bool(chain_is_alt[ci]), w=int(chain_w[ci]),
+                kept=int(chain_kept[ci]),
+                frac_rep=float(chain_frac_rep[ci]),
+            ))
+        result.append(lst)
+    return result
+
+
 def chain_weight(c: Chain) -> int:
     """reference: src/bwamem.cpp:523-541."""
     w = 0

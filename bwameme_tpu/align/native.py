@@ -48,6 +48,25 @@ def _load():
             i32p,
         ]
         lib.sw_extend_c.restype = None
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.chain_and_filter_c.argtypes = [
+            ctypes.c_int32, i32p,                       # R, l_query
+            i32p, i32p, i32p, i64p, i64p,               # smem off/start/end/salo/cnt
+            i64p,                                       # sa
+            ctypes.c_int64, ctypes.c_int32, i64p, u8p,  # l_pac, n_ctg, off, alt
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # max_occ, w, gap
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # minseed, mincw, maxext
+            ctypes.c_double, ctypes.c_double,           # mask_level, drop_ratio
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # a, o_del, e_del
+            ctypes.c_int32, ctypes.c_int32,             # o_ins, e_ins
+            ctypes.c_int64, ctypes.c_int64,             # chain_cap, seed_cap
+            i64p,                                       # chain_off
+            i64p, i32p, u8p, i32p, i32p, f64p,          # chain fields
+            i64p,                                       # seed_off
+            i64p, i32p, i32p,                           # seed fields
+        ]
+        lib.chain_and_filter_c.restype = ctypes.c_int64
         _lib = lib
     except Exception:
         _failed = True
@@ -82,6 +101,63 @@ def sw_global_native(query, target, mat, o_del, e_del, o_ins, e_ins, w):
         return None
     out = [(int(c & 0xF), int(c >> 4)) for c in cig[: n.value]]
     return int(score), out
+
+
+def chain_and_filter_native(opt, bns, l_query, smem_off, smem_start, smem_end,
+                            smem_salo, smem_cnt, sa, ctg_off, ctg_alt):
+    """Batched chain_seeds + filter_chains (native). Returns flat arrays
+    (chain_off, chain_pos, chain_rid, chain_is_alt, chain_w, chain_kept,
+    chain_frac_rep, seed_off, seed_rbeg, seed_qbeg, seed_len) or None when
+    the native library is unavailable (caller uses the Python path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f64p = ctypes.POINTER(ctypes.c_double)
+
+    def p32(x):
+        return x.ctypes.data_as(i32p)
+
+    def p64(x):
+        return x.ctypes.data_as(i64p)
+
+    R = len(l_query)
+    # exact caps: every subsampled hit can become its own chain
+    per = np.minimum(smem_cnt, opt.max_occ)
+    cap = int(per.sum()) + 1
+    chain_off = np.empty(R + 1, np.int64)
+    chain_pos = np.empty(cap, np.int64)
+    chain_rid = np.empty(cap, np.int32)
+    chain_is_alt = np.empty(cap, np.uint8)
+    chain_w = np.empty(cap, np.int32)
+    chain_kept = np.empty(cap, np.int32)
+    chain_frac_rep = np.empty(cap, np.float64)
+    seed_off = np.empty(cap + 1, np.int64)
+    seed_rbeg = np.empty(cap, np.int64)
+    seed_qbeg = np.empty(cap, np.int32)
+    seed_len = np.empty(cap, np.int32)
+    n = lib.chain_and_filter_c(
+        R, p32(l_query), p32(smem_off), p32(smem_start), p32(smem_end),
+        p64(smem_salo), p64(smem_cnt), p64(sa),
+        bns.l_pac, len(bns.contigs), p64(ctg_off),
+        ctg_alt.ctypes.data_as(u8p),
+        opt.max_occ, opt.w, opt.max_chain_gap, opt.min_seed_len,
+        opt.min_chain_weight, min(opt.max_chain_extend, 1 << 30),
+        opt.mask_level, opt.drop_ratio,
+        opt.a, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+        cap, cap,
+        p64(chain_off), p64(chain_pos), p32(chain_rid),
+        chain_is_alt.ctypes.data_as(u8p), p32(chain_w), p32(chain_kept),
+        chain_frac_rep.ctypes.data_as(f64p),
+        p64(seed_off), p64(seed_rbeg), p32(seed_qbeg), p32(seed_len),
+    )
+    if n < 0:
+        return None
+    return (chain_off, chain_pos, chain_rid, chain_is_alt, chain_w,
+            chain_kept, chain_frac_rep, seed_off, seed_rbeg, seed_qbeg,
+            seed_len, int(n))
 
 
 def sw_extend_native(query, target, mat, o_del, e_del, o_ins, e_ins, w,

@@ -115,16 +115,14 @@ class Aligner:
         text = idx.text
         sa_pos = getattr(self.engine, "sa_positions", idx.sa)
 
-        chains_per_read = []
-        for rec, smems in zip(recs, smems_per_read):
-            chains = chain_mod.chain_seeds(opt, bns, len(rec.codes), smems, sa_pos)
-            chains = chain_mod.filter_chains(opt, chains)
+        queries = [r.codes for r in recs]
+        chains_per_read = chain_mod.chain_and_filter_batch(
+            opt, bns, queries, smems_per_read, sa_pos)
+        for rec, chains in zip(recs, chains_per_read):
             chain_mod.filter_chained_seeds(opt, bns, text, rec.codes,
                                            len(rec.codes), chains)
-            chains_per_read.append(chains)
 
         # kernel 2: extension (batched SW) + dedup
-        queries = [r.codes for r in recs]
         regs_per_read = extend_mod.extend_chains_batch(
             opt, bns, text, queries, chains_per_read
         )
@@ -165,14 +163,12 @@ class Aligner:
         sa_pos = getattr(self.engine, "sa_positions", idx.sa)
 
         smems_per_read = self.collect_smems(recs)
-        chains_per_read = []
-        for rec, smems in zip(recs, smems_per_read):
-            chains = chain_mod.chain_seeds(opt, bns, len(rec.codes), smems, sa_pos)
-            chains = chain_mod.filter_chains(opt, chains)
+        queries = [r.codes for r in recs]
+        chains_per_read = chain_mod.chain_and_filter_batch(
+            opt, bns, queries, smems_per_read, sa_pos)
+        for rec, chains in zip(recs, chains_per_read):
             chain_mod.filter_chained_seeds(opt, bns, text, rec.codes,
                                            len(rec.codes), chains)
-            chains_per_read.append(chains)
-        queries = [r.codes for r in recs]
         regs_per_read = extend_mod.extend_chains_batch(
             opt, bns, text, queries, chains_per_read
         )

@@ -10,6 +10,7 @@
 //
 // C ABI, called from Python via ctypes.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -192,6 +193,292 @@ void sw_extend_c(const uint8_t* query, int32_t qlen,
   out[3] = max_ie + 1;
   out[4] = (int32_t)gscore;
   out[5] = max_off;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched seed chaining + chain filtering (mem_chain_Learned + mem_chain_flt
+// semantics; the documented contracts are the Python implementations in
+// align/chain.py:chain_seeds/filter_chains, which cite the reference lines).
+// One call chains and filters every read of a batch; outputs are flat arrays
+// of kept chains (in filter output order: weight-descending survivors) and
+// their seeds.
+//
+// Returns the total number of kept chains, or -1 when an output cap would
+// overflow (caller falls back to the Python path).
+
+namespace {
+
+struct CSeed {
+  int64_t rbeg;
+  int32_t qbeg, len;
+};
+
+struct CChain {
+  int64_t pos;
+  int32_t rid;
+  uint8_t is_alt;
+  int32_t w, kept, first;
+  std::vector<CSeed> seeds;
+};
+
+struct ChainOpts {
+  int64_t l_pac;
+  int32_t max_occ, band_w, max_chain_gap, min_seed_len;
+  int32_t min_chain_weight, max_chain_extend;
+  double mask_level, drop_ratio;
+  int32_t a, o_del, e_del, o_ins, e_ins;
+};
+
+inline int32_t cal_max_gap_c(const ChainOpts& o, int64_t qlen) {
+  int64_t l_del = (int64_t)((qlen * o.a - o.o_del) / (double)o.e_del + 1.0);
+  int64_t l_ins = (int64_t)((qlen * o.a - o.o_ins) / (double)o.e_ins + 1.0);
+  int64_t l = l_del > l_ins ? l_del : l_ins;
+  if (l < 1) l = 1;
+  int64_t cap = (int64_t)o.band_w << 1;
+  return (int32_t)(l < cap ? l : cap);
+}
+
+inline int32_t pos2rid_c(const int64_t* off, int32_t n, int64_t l_pac,
+                         int64_t pos_f) {
+  if (pos_f >= l_pac) return -1;
+  // upper_bound(off, pos_f) - 1
+  int32_t lo = 0, hi = n;
+  while (lo < hi) {
+    int32_t mid = (lo + hi) >> 1;
+    if (off[mid] <= pos_f) lo = mid + 1; else hi = mid;
+  }
+  return lo - 1;
+}
+
+inline int32_t intv2rid_c(const int64_t* off, int32_t n, int64_t l_pac,
+                          int64_t rb, int64_t re) {
+  if (rb < l_pac && re > l_pac) return -1;
+  int64_t fb = rb < l_pac ? rb : (l_pac << 1) - 1 - rb;
+  int64_t fe = (re - 1) < l_pac ? (re - 1) : (l_pac << 1) - 1 - (re - 1);
+  if (fb > fe) { int64_t t = fb; fb = fe; fe = t; }
+  int32_t rb_id = pos2rid_c(off, n, l_pac, fb);
+  int32_t re_id = pos2rid_c(off, n, l_pac, fe);
+  return rb_id == re_id ? rb_id : -1;
+}
+
+// reference: src/bwamem.cpp:450-492
+inline bool test_and_merge_c(const ChainOpts& o, CChain& c, int64_t rbeg,
+                             int32_t qbeg, int32_t len, int32_t rid) {
+  const CSeed& last = c.seeds.back();
+  int64_t qend = last.qbeg + last.len;
+  int64_t rend = last.rbeg + last.len;
+  if (rid != c.rid) return false;
+  if (qbeg >= c.seeds[0].qbeg && qbeg + len <= qend &&
+      rbeg >= c.seeds[0].rbeg && rbeg + len <= rend)
+    return true;  // contained
+  if ((last.rbeg < o.l_pac || c.seeds[0].rbeg < o.l_pac) && rbeg >= o.l_pac)
+    return false;  // different strand
+  int64_t x = qbeg - last.qbeg;
+  int64_t y = rbeg - last.rbeg;
+  if (y >= 0 && x - y <= o.band_w && y - x <= o.band_w &&
+      x - last.len < o.max_chain_gap && y - last.len < o.max_chain_gap) {
+    c.seeds.push_back(CSeed{rbeg, qbeg, len});
+    return true;
+  }
+  return false;
+}
+
+// reference: src/bwamem.cpp:523-541
+inline int32_t chain_weight_c(const CChain& c) {
+  int64_t w = 0, end = 0;
+  for (const CSeed& s : c.seeds) {
+    if (s.qbeg >= end) w += s.len;
+    else if (s.qbeg + s.len > end) w += s.qbeg + s.len - end;
+    int64_t e2 = s.qbeg + s.len;
+    if (e2 > end) end = e2;
+  }
+  int64_t tmp = w;
+  w = 0; end = 0;
+  for (const CSeed& s : c.seeds) {
+    if (s.rbeg >= end) w += s.len;
+    else if (s.rbeg + s.len > end) w += s.rbeg + s.len - end;
+    int64_t e2 = s.rbeg + s.len;
+    if (e2 > end) end = e2;
+  }
+  return (int32_t)(w < tmp ? w : tmp);
+}
+
+inline int64_t chn_beg_c(const CChain& c) { return c.seeds[0].qbeg; }
+inline int64_t chn_end_c(const CChain& c) {
+  const CSeed& s = c.seeds.back();
+  return s.qbeg + s.len;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t chain_and_filter_c(
+    int32_t R, const int32_t* l_query,
+    const int32_t* smem_off,  // R+1 prefix offsets into the smem arrays
+    const int32_t* smem_start, const int32_t* smem_end,
+    const int64_t* smem_salo, const int64_t* smem_cnt,
+    const int64_t* sa,  // suffix-array positions
+    int64_t l_pac, int32_t n_contigs, const int64_t* ctg_off,
+    const uint8_t* ctg_alt,
+    int32_t max_occ, int32_t band_w, int32_t max_chain_gap,
+    int32_t min_seed_len, int32_t min_chain_weight, int32_t max_chain_extend,
+    double mask_level, double drop_ratio,
+    int32_t a, int32_t o_del, int32_t e_del, int32_t o_ins, int32_t e_ins,
+    int64_t chain_cap, int64_t seed_cap,
+    int64_t* chain_off,  // R+1 prefix chain counts
+    int64_t* chain_pos, int32_t* chain_rid, uint8_t* chain_is_alt,
+    int32_t* chain_w, int32_t* chain_kept, double* chain_frac_rep,
+    int64_t* seed_off,  // chain_cap+1 prefix seed counts per chain
+    int64_t* seed_rbeg, int32_t* seed_qbeg, int32_t* seed_len) {
+  ChainOpts o{l_pac, max_occ, band_w, max_chain_gap, min_seed_len,
+              min_chain_weight, max_chain_extend, mask_level, drop_ratio,
+              a, o_del, e_del, o_ins, e_ins};
+  int64_t nco = 0, nso = 0;
+  chain_off[0] = 0;
+  seed_off[0] = 0;
+  std::vector<CChain> chains;
+  std::vector<int64_t> keys;  // anchor positions, kept sorted
+  std::vector<CChain*> flt;
+  for (int32_t r = 0; r < R; ++r) {
+    chains.clear();
+    keys.clear();
+    int32_t s0 = smem_off[r], s1 = smem_off[r + 1];
+    int32_t lq = l_query[r];
+    if (lq >= min_seed_len) {
+      // frac_rep (reference: src/bwamem.cpp:1143-1151)
+      int64_t l_rep = 0, b = 0, e = 0;
+      for (int32_t i = s0; i < s1; ++i) {
+        if (smem_cnt[i] <= max_occ) continue;
+        int64_t sb = smem_start[i], se = smem_end[i];
+        if (sb > e) { l_rep += e - b; b = sb; e = se; }
+        else if (se > e) e = se;
+      }
+      l_rep += e - b;
+      double frac_rep = (double)l_rep / lq;
+
+      for (int32_t i = s0; i < s1; ++i) {
+        int32_t slen = smem_end[i] - smem_start[i];
+        int64_t hc = smem_cnt[i];
+        int64_t step = hc > max_occ ? hc / max_occ : 1;
+        int64_t count = 0;
+        for (int64_t k = 0; k < hc && count < max_occ; k += step, ++count) {
+          int64_t rbeg = sa[smem_salo[i] + k];
+          int32_t rid = intv2rid_c(ctg_off, n_contigs, l_pac, rbeg,
+                                   rbeg + slen);
+          if (rid < 0) continue;
+          bool to_add = true;
+          if (!chains.empty()) {
+            // last chain with anchor pos <= rbeg
+            int64_t lo = 0, hi = (int64_t)keys.size();
+            while (lo < hi) {
+              int64_t mid = (lo + hi) >> 1;
+              if (keys[mid] <= rbeg) lo = mid + 1; else hi = mid;
+            }
+            if (lo - 1 >= 0 &&
+                test_and_merge_c(o, chains[lo - 1], rbeg, smem_start[i],
+                                 slen, rid))
+              to_add = false;
+          }
+          if (to_add) {
+            int64_t lo = 0, hi = (int64_t)keys.size();
+            while (lo < hi) {
+              int64_t mid = (lo + hi) >> 1;
+              if (keys[mid] <= rbeg) lo = mid + 1; else hi = mid;
+            }
+            CChain c;
+            c.pos = rbeg;
+            c.rid = rid;
+            c.is_alt = ctg_alt ? ctg_alt[rid] : 0;
+            c.w = 0; c.kept = 0; c.first = -1;
+            c.seeds.push_back(CSeed{rbeg, smem_start[i], slen});
+            chains.insert(chains.begin() + lo, std::move(c));
+            keys.insert(keys.begin() + lo, rbeg);
+          }
+        }
+      }
+
+      // ---- mem_chain_flt (reference: src/bwamem.cpp:599-718) ----
+      flt.clear();
+      for (CChain& c : chains) {
+        c.first = -1;
+        c.kept = 0;
+        c.w = chain_weight_c(c);
+        if (c.w >= min_chain_weight) flt.push_back(&c);
+      }
+      if (!flt.empty()) {
+        std::stable_sort(flt.begin(), flt.end(),
+                         [](const CChain* x, const CChain* y) {
+                           return x->w > y->w;
+                         });
+        std::vector<int64_t> kept_idx{0};
+        flt[0]->kept = 3;
+        for (size_t i2 = 1; i2 < flt.size(); ++i2) {
+          bool large_ovlp = false, stop = false;
+          for (int64_t j : kept_idx) {
+            int64_t b_max = chn_beg_c(*flt[j]) > chn_beg_c(*flt[i2])
+                                ? chn_beg_c(*flt[j]) : chn_beg_c(*flt[i2]);
+            int64_t e_min = chn_end_c(*flt[j]) < chn_end_c(*flt[i2])
+                                ? chn_end_c(*flt[j]) : chn_end_c(*flt[i2]);
+            if (e_min > b_max && (!flt[j]->is_alt || flt[i2]->is_alt)) {
+              int64_t li = chn_end_c(*flt[i2]) - chn_beg_c(*flt[i2]);
+              int64_t lj = chn_end_c(*flt[j]) - chn_beg_c(*flt[j]);
+              int64_t min_l = li < lj ? li : lj;
+              if (e_min - b_max >= min_l * mask_level &&
+                  min_l < max_chain_gap) {
+                large_ovlp = true;
+                if (flt[j]->first < 0) flt[j]->first = (int32_t)i2;
+                if (flt[i2]->w < flt[j]->w * drop_ratio &&
+                    flt[j]->w - flt[i2]->w >= min_seed_len << 1) {
+                  stop = true;
+                  break;
+                }
+              }
+            }
+          }
+          if (!stop) {
+            kept_idx.push_back((int64_t)i2);
+            flt[i2]->kept = large_ovlp ? 2 : 3;
+          }
+        }
+        for (int64_t j : kept_idx)
+          if (flt[j]->first >= 0) flt[flt[j]->first]->kept = 1;
+        // cap on extended shadowed chains
+        int64_t kcnt = 0, cut = (int64_t)flt.size();
+        for (size_t i2 = 0; i2 < flt.size(); ++i2) {
+          if (flt[i2]->kept == 0 || flt[i2]->kept == 3) continue;
+          if (++kcnt >= max_chain_extend) { cut = (int64_t)i2; break; }
+        }
+        for (size_t i2 = cut; i2 < flt.size(); ++i2)
+          if (flt[i2]->kept < 3) flt[i2]->kept = 0;
+
+        // ---- emit survivors in filter order ----
+        for (CChain* cp : flt) {
+          if (cp->kept == 0) continue;
+          if (nco >= chain_cap) return -1;
+          if (nso + (int64_t)cp->seeds.size() > seed_cap) return -1;
+          chain_pos[nco] = cp->pos;
+          chain_rid[nco] = cp->rid;
+          chain_is_alt[nco] = cp->is_alt;
+          chain_w[nco] = cp->w;
+          chain_kept[nco] = cp->kept;
+          chain_frac_rep[nco] = frac_rep;
+          for (const CSeed& s : cp->seeds) {
+            seed_rbeg[nso] = s.rbeg;
+            seed_qbeg[nso] = s.qbeg;
+            seed_len[nso] = s.len;
+            ++nso;
+          }
+          ++nco;
+          seed_off[nco] = nso;
+        }
+      }
+    }
+    chain_off[r + 1] = nco;
+  }
+  return nco;
 }
 
 }  // extern "C"

@@ -12,6 +12,24 @@ OPT = MemOptions()
 pytestmark = pytest.mark.skipif(not native.available(), reason="no g++")
 
 
+@pytest.fixture(scope="module")
+def toy_index():
+    from bwameme_tpu.index import bntseq
+    from bwameme_tpu.index.build import build_index
+
+    rng = np.random.default_rng(99)
+    n = 30000
+    code = rng.integers(0, 4, n).astype(np.uint8)
+    # two contigs so intv2rid boundary rejection is exercised
+    bns = bntseq.BntSeq(
+        l_pac=n,
+        contigs=[bntseq.Contig("c1", "", 0, 11000, 0),
+                 bntseq.Contig("c2", "", 11000, n - 11000, 0)],
+        ambs=[], code=code,
+    )
+    return build_index(bns, rmi_bits=10)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_sw_global_native_matches(seed):
     rng = np.random.default_rng(seed)
@@ -34,6 +52,51 @@ def test_sw_global_native_matches(seed):
         assert got is not None
         assert got[0] == ref_score
         assert got[1] == ref_cig
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_chain_and_filter_native_matches(seed, toy_index):
+    """Batched native chaining == per-read Python chain_seeds+filter_chains
+    (the compare_result.sh differential pattern at the chaining stage)."""
+    from bwameme_tpu.align import chain as chain_mod
+    from bwameme_tpu.seeding.host_engine import HostSeedingEngine
+
+    idx = toy_index
+    eng = HostSeedingEngine(idx, OPT)
+    rng = np.random.default_rng(seed)
+    queries, smems_per = [], []
+    for i in range(120):
+        a = int(rng.integers(0, idx.l_pac - 160))
+        read = idx.text[a: a + 151].copy()
+        for _ in range(rng.poisson(1.5)):
+            p = int(rng.integers(0, 151))
+            read[p] = (read[p] + rng.integers(1, 4)) % 4
+        if i % 3 == 0:
+            read = (3 - read[::-1]) % 4
+        if i % 17 == 0:
+            read[50:55] = 4  # N run
+        if i % 41 == 0:
+            read = read[:25]  # near-min-length read
+        queries.append(read.astype(np.uint8))
+        smems_per.append(eng.sorted_smems(read))
+
+    ref = [
+        chain_mod.filter_chains(
+            OPT, chain_mod.chain_seeds(OPT, idx.bns, len(q), s, idx.sa))
+        for q, s in zip(queries, smems_per)
+    ]
+    got = chain_mod.chain_and_filter_batch(OPT, idx.bns, queries, smems_per,
+                                           idx.sa)
+
+    def sig(chains):
+        return [
+            (c.pos, c.rid, c.is_alt, c.w, c.kept, round(c.frac_rep, 9),
+             [(s.rbeg, s.qbeg, s.len, s.score) for s in c.seeds])
+            for c in chains
+        ]
+
+    for a, b in zip(ref, got):
+        assert sig(a) == sig(b)
 
 
 @pytest.mark.parametrize("seed", [0, 1])
