@@ -223,6 +223,185 @@ def extend_chains_batch(opt, bns, text: np.ndarray, queries: list[np.ndarray],
         p.h0 = regs_per_read[p.read_i][p.reg_i].score
     run_side(right_pairs, False)
 
+    _purge_contained(opt, queries, chains_per_read, regs_per_read,
+                     srt_per_chain)
+    return regs_per_read
+
+
+def _bucket(x, ladder):
+    for b in ladder:
+        if x <= b:
+            return b
+    return x
+
+
+def extend_chains_batch_fused(opt, bns, text: np.ndarray,
+                              queries: list[np.ndarray],
+                              chains_per_read: list[list[Chain]],
+                              text32) -> list[list[AlnReg]]:
+    """Coordinate-based fused extension: identical semantics to
+    extend_chains_batch, but the whole SW stage (both sides, both band
+    tries) is ONE device dispatch of ops.banded_sw.fused_extend_coord —
+    the host ships seed coordinates, not sequence bytes. ``text32`` is the
+    device-resident packed reference (DeviceIndex.text32)."""
+    import jax.numpy as jnp
+
+    from bwameme_tpu.ops.banded_sw import fused_extend_coord
+
+    l_pac = bns.l_pac
+    R = len(queries)
+    regs_per_read: list[list[AlnReg]] = [[] for _ in queries]
+    srt_per_chain: dict[tuple[int, int], list[int]] = {}
+
+    # flat registry of alnregs in creation order
+    flat_regs: list[AlnReg] = []
+    flat_lq: list[int] = []
+    h0seed: list[int] = []
+    ljobs: list[tuple[int, int, int, int, int]] = []  # reg,row,qlen,tst,tln
+    rjobs: list[tuple[int, int, int, int, int, int]] = []
+
+    for li, (query, chains) in enumerate(zip(queries, chains_per_read)):
+        l_query = len(query)
+        av = regs_per_read[li]
+        for cj, c in enumerate(chains):
+            if not c.seeds:
+                continue
+            rmax0, rmax1 = l_pac << 1, 0
+            for t in c.seeds:
+                b = t.rbeg - (t.qbeg + cal_max_gap(opt, t.qbeg))
+                e = t.rbeg + t.len + (
+                    (l_query - t.qbeg - t.len)
+                    + cal_max_gap(opt, l_query - t.qbeg - t.len)
+                )
+                rmax0 = min(rmax0, b)
+                rmax1 = max(rmax1, e)
+            rmax0 = max(rmax0, 0)
+            rmax1 = min(rmax1, l_pac << 1)
+            if rmax0 < l_pac < rmax1:
+                if c.seeds[0].rbeg < l_pac:
+                    rmax1 = l_pac
+                else:
+                    rmax0 = l_pac
+            rmax0, rmax1, rid = clamp_to_contig(bns, rmax0, c.seeds[0].rbeg,
+                                                rmax1)
+            assert rid == c.rid
+
+            srt = sorted(range(len(c.seeds)),
+                         key=lambda i: (c.seeds[i].score, i))
+            srt_per_chain[(li, cj)] = srt
+            for k in range(len(c.seeds) - 1, -1, -1):
+                s = c.seeds[srt[k]]
+                a = AlnReg()
+                av.append(a)
+                s.aln = len(av) - 1
+                g = len(flat_regs)
+                flat_regs.append(a)
+                flat_lq.append(l_query)
+                h0seed.append(s.len * opt.a)
+                a.w = opt.w
+                a.rid = c.rid
+                a.frac_rep = c.frac_rep
+                a.seedlen0 = s.len
+                a.chain = c
+                if s.qbeg:
+                    ljobs.append((g, li, s.qbeg, rmax0, s.rbeg - rmax0))
+                    a.qb, a.rb = s.qbeg, s.rbeg
+                else:
+                    a.score = a.truesc = s.len * opt.a
+                    a.qb, a.rb = 0, s.rbeg
+                if s.qbeg + s.len != l_query:
+                    qe = s.qbeg + s.len
+                    rjobs.append((g, li, qe, l_query - qe, s.rbeg + s.len,
+                                  rmax1 - (s.rbeg + s.len)))
+                    a.qe, a.re = qe, s.rbeg + s.len
+                else:
+                    a.qe, a.re = l_query, s.rbeg + s.len
+                    if a.rb != H0_SENTINEL and a.qb != H0_SENTINEL:
+                        a.seedcov = _seedcov(a)
+
+    G = len(flat_regs)
+    if G:
+        # ---- one fused dispatch ----
+        Lmax = max(len(q) for q in queries)
+        codes = np.full((R, Lmax), 0, dtype=np.uint8)
+        for i, q in enumerate(queries):
+            codes[i, : len(q)] = np.minimum(q, 4)
+        NL, NR = len(ljobs), len(rjobs)
+        lane_ladder = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+        NLp = _bucket(max(NL, 1), lane_ladder)
+        NRp = _bucket(max(NR, 1), lane_ladder)
+        Gp = _bucket(G, lane_ladder)
+        la = np.zeros((5, NLp), np.int32)
+        la[0] = Gp  # sentinel reg: scatter drops, gathers read padding
+        for i, j in enumerate(ljobs):
+            la[:, i] = j
+        ra = np.zeros((6, NRp), np.int32)
+        ra[0] = Gp
+        for i, j in enumerate(rjobs):
+            ra[:, i] = j
+        h0s = np.zeros(Gp, np.int32)
+        h0s[:G] = h0seed
+        Q = _bucket(int(max(la[2].max(initial=1), ra[3].max(initial=1))),
+                    (64, 128, 192, 256, 512))
+        TL = _bucket(int(la[4].max(initial=1)), (128, 256, 384, 512, 1024, 2048))
+        TR = _bucket(int(ra[5].max(initial=1)), (128, 256, 384, 512, 1024, 2048))
+        left, right = fused_extend_coord(
+            text32, jnp.asarray(codes), jnp.asarray(opt.mat.astype(np.int32)),
+            jnp.asarray(h0s),
+            jnp.asarray(la[0]), jnp.asarray(la[1]), jnp.asarray(la[2]),
+            jnp.asarray(la[3]), jnp.asarray(la[4]),
+            jnp.asarray(ra[0]), jnp.asarray(ra[1]), jnp.asarray(ra[2]),
+            jnp.asarray(ra[3]), jnp.asarray(ra[4]), jnp.asarray(ra[5]),
+            opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+            opt.pen_clip5, opt.pen_clip3, opt.zdrop, opt.w,
+            Q=Q, TL=TL, TR=TR,
+        )
+        left = {k: np.asarray(v) for k, v in left.items()}
+        right = {k: np.asarray(v) for k, v in right.items()}
+
+        # ---- fold left results (reference: src/bwamem.cpp:3040-3160) ----
+        for i, (g, _row, _ql, _tst, _tln) in enumerate(ljobs):
+            a = flat_regs[g]
+            a.score = int(left["score"][i])
+            gsc = int(left["gscore"][i])
+            if gsc <= 0 or gsc <= a.score - opt.pen_clip5:
+                a.qb -= int(left["qle"][i])
+                a.rb -= int(left["tle"][i])
+                a.truesc = a.score
+            else:
+                a.qb = 0
+                a.rb -= int(left["gtle"][i])
+                a.truesc = gsc
+            a.w = max(a.w, int(left["w_used"][i]))
+            if (a.rb != H0_SENTINEL and a.qb != H0_SENTINEL
+                    and a.qe != H0_SENTINEL and a.re != H0_SENTINEL):
+                a.seedcov = _seedcov(a)
+        # ---- fold right results ----
+        for i, (g, _row, _qs, _ql, _tst, _tln) in enumerate(rjobs):
+            a = flat_regs[g]
+            h0r = a.score if a.score != -1 else h0seed[g]
+            a.score = int(right["score"][i])
+            gsc = int(right["gscore"][i])
+            if gsc <= 0 or gsc <= a.score - opt.pen_clip3:
+                a.qe += int(right["qle"][i])
+                a.re += int(right["tle"][i])
+                a.truesc += a.score - h0r
+            else:
+                a.qe = flat_lq[g]
+                a.re += int(right["gtle"][i])
+                a.truesc += gsc - h0r
+            a.w = max(a.w, int(right["w_used"][i]))
+            if (a.rb != H0_SENTINEL and a.qb != H0_SENTINEL
+                    and a.qe != H0_SENTINEL and a.re != H0_SENTINEL):
+                a.seedcov = _seedcov(a)
+
+    _purge_contained(opt, queries, chains_per_read, regs_per_read,
+                     srt_per_chain)
+    return regs_per_read
+
+
+def _purge_contained(opt, queries, chains_per_read, regs_per_read,
+                     srt_per_chain):
     # ---- contained-seed purge (reference: src/bwamem.cpp:3390-3489) ----
     for li, (query, chains) in enumerate(zip(queries, chains_per_read)):
         l_query = len(query)

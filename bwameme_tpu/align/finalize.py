@@ -29,6 +29,9 @@ PATCH_MAX_R_BW = 0.05
 PATCH_MIN_SC_RATIO = 0.90
 INT_MAX = 2**31 - 1
 
+_FWD_BASES = np.frombuffer(b"ACGTN", dtype=np.uint8)
+_REV_BASES = np.frombuffer(b"TGCAN", dtype=np.uint8)
+
 
 def hash_64(key: int) -> int:
     """Thomas Wang 64-bit mix (reference: src/utils.h:117-129)."""
@@ -68,7 +71,7 @@ def gen_cigar(opt, bns, text: np.ndarray, w: int, query_seg: np.ndarray,
     rlen = len(rseq)
     if l_query == re - rb and w == 0:
         cigar = [(0, l_query)]
-        score = int(sum(int(opt.mat[rseq[i], q[i]]) for i in range(l_query)))
+        score = int(opt.mat[rseq[:l_query], q[:l_query]].sum(dtype=np.int64))
     else:
         max_ins = int((((l_query + 1) >> 1) * opt.mat[0, 0] - opt.o_ins) / opt.e_ins + 1.0)
         max_del = int((((l_query + 1) >> 1) * opt.mat[0, 0] - opt.o_del) / opt.e_del + 1.0)
@@ -93,14 +96,15 @@ def gen_cigar(opt, bns, text: np.ndarray, w: int, query_seg: np.ndarray,
     n_mm = n_gap = 0
     for k, (op, ln) in enumerate(cigar):
         if op == 0:
-            for i in range(ln):
-                if q[x + i] != rseq[y + i]:
-                    md.append(str(u))
-                    md.append(int2base[min(int(rseq[y + i]), 4)])
-                    n_mm += 1
-                    u = 0
-                else:
-                    u += 1
+            mm = np.flatnonzero(q[x: x + ln] != rseq[y: y + ln])
+            prev = -1
+            for i in mm:
+                md.append(str(u + int(i) - prev - 1))
+                md.append(int2base[min(int(rseq[y + int(i)]), 4)])
+                u = 0
+                prev = int(i)
+            u += ln - 1 - prev
+            n_mm += len(mm)
             x += ln
             y += ln
         elif op == 2:
@@ -474,10 +478,10 @@ def aln2sam(opt, bns, read, n: int, alns: list[MemAln], which: int,
                 else:
                     qe -= p.cigar[-1][1]
         if not p.is_rev:
-            seq_str = "".join("ACGTN"[min(int(c), 4)] for c in codes[qb:qe])
+            seq_str = _FWD_BASES[np.minimum(codes[qb:qe], 4)].tobytes().decode()
             qual_str = qual[qb:qe] if qual else "*"
         else:
-            seq_str = "".join("TGCAN"[min(int(c), 4)] for c in codes[qb:qe][::-1])
+            seq_str = _REV_BASES[np.minimum(codes[qb:qe][::-1], 4)].tobytes().decode()
             qual_str = qual[qb:qe][::-1] if qual else "*"
     fields.append(seq_str if seq_str else "*")
     fields.append(qual_str if qual_str else "*")

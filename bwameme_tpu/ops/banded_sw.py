@@ -48,6 +48,12 @@ def banded_sw_extend_batch(
     o_del: int, e_del: int, o_ins: int, e_ins: int,
     end_bonus: int, zdrop: int,
 ):
+    return _sw_core(q_codes, t_codes, qlen, tlen, h0, ws, mat,
+                    o_del, e_del, o_ins, e_ins, end_bonus, zdrop)
+
+
+def _sw_core(q_codes, t_codes, qlen, tlen, h0, ws, mat,
+             o_del, e_del, o_ins, e_ins, end_bonus, zdrop):
     B, Q = q_codes.shape
     T = t_codes.shape[1]
     # codes may arrive as int8 to quarter the host->device transfer
@@ -206,6 +212,116 @@ def banded_sw_extend_batch(
         score=st["mx"], qle=st["max_j"] + 1, tle=st["max_i"] + 1,
         gtle=st["max_ie"] + 1, gscore=st["gsc"], max_off=st["max_off"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused coordinate-based extension: the whole of mem_chain2aln's SW work —
+# left and right extensions of every seed, *including* the MAX_BAND_TRY=2
+# band-doubling retry (reference: src/bwamem.cpp:2968-3022) — as ONE device
+# dispatch. The host ships only per-job coordinates; query codes come from a
+# small (R, L) batch matrix and target codes are decoded on device from the
+# 2-bit packed reference text (text32), so no sequence bytes cross the
+# host<->device link. Band retries run speculatively (each job computes both
+# w and 2w in doubled lanes; the retry predicate selects per lane), trading
+# cheap VPU compute for dispatch round-trips.
+#
+# Positions are int32 — single-chip indexes up to 2^31 bases (text+RC); the
+# multi-host sharded layer owns larger genomes.
+
+
+def _decode_text(text32: jax.Array, start, ln, reverse: bool, T: int):
+    """(N, T) int32 codes of text[start : start+ln], optionally reversed,
+    decoded from MSB-first 2-bit packed words; positions >= ln yield 0."""
+    N = start.shape[0]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (N, T), 1)
+    pos = (start[:, None] + (ln[:, None] - 1 - jj)) if reverse else (
+        start[:, None] + jj)
+    posc = jnp.maximum(pos, 0)
+    w = jnp.take(text32, posc >> 4, mode="clip")
+    sh = (jnp.uint32(15) - (posc.astype(jnp.uint32) & jnp.uint32(15))) * 2
+    code = (w >> sh) & jnp.uint32(3)
+    return jnp.where(jj < ln[:, None], code.astype(jnp.int32), 0)
+
+
+def _gather_query(codes: jax.Array, row, start, ln, reverse: bool, Q: int):
+    """(N, Q) int32 query codes from the (R, L) batch code matrix."""
+    R, L = codes.shape
+    flat = codes.reshape(-1)
+    N = row.shape[0]
+    jj = jax.lax.broadcasted_iota(jnp.int32, (N, Q), 1)
+    pos = (start[:, None] + (ln[:, None] - 1 - jj)) if reverse else (
+        start[:, None] + jj)
+    posc = jnp.clip(pos, 0, L - 1)
+    q = jnp.take(flat, row[:, None] * L + posc, mode="clip")
+    return jnp.where(jj < ln[:, None], q.astype(jnp.int32), 0)
+
+
+def _retry_select(res1, res2, w1, w2, prev):
+    """Apply the band-doubling retry rule per lane: round 2 replaces round 1
+    iff round 1 changed the score (prev = the alnreg score entering the
+    round: -1 on the left side, the post-left score on the right side) AND
+    its max_off reached the band threshold."""
+    use2 = (res1["score"] != prev) & (
+        res1["max_off"] >= ((w1 >> 1) + (w1 >> 2)))
+    out = {k: jnp.where(use2, res2[k], res1[k]) for k in res1}
+    out["w_used"] = jnp.where(use2, w2, w1)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("o_del", "e_del", "o_ins", "e_ins", "pen_clip5",
+                     "pen_clip3", "zdrop", "w0", "Q", "TL", "TR"),
+)
+def fused_extend_coord(
+    text32: jax.Array,     # uint32[] packed reference text (+RC)
+    codes: jax.Array,      # (R, L) int8/uint8 nt4 read codes (N=4 preserved)
+    mat: jax.Array,        # (5,5) int32
+    reg_h0seed: jax.Array,  # (G,) int32: seed_len * a per alnreg
+    l_reg: jax.Array, l_row: jax.Array, l_qlen: jax.Array,
+    l_tstart: jax.Array, l_tlen: jax.Array,      # (NL,) left jobs
+    r_reg: jax.Array, r_row: jax.Array, r_qstart: jax.Array,
+    r_qlen: jax.Array, r_tstart: jax.Array, r_tlen: jax.Array,  # (NR,)
+    o_del: int, e_del: int, o_ins: int, e_ins: int,
+    pen_clip5: int, pen_clip3: int, zdrop: int, w0: int,
+    Q: int, TL: int, TR: int,
+):
+    G = reg_h0seed.shape[0]
+    codes = codes.astype(jnp.int32)
+
+    def run_side(reg, qmat, tmat, qlen, tlen, h0, end_bonus, prev):
+        N = qlen.shape[0]
+        q2 = jnp.concatenate([qmat, qmat])
+        t2 = jnp.concatenate([tmat, tmat])
+        ql2 = jnp.concatenate([qlen, qlen])
+        tl2 = jnp.concatenate([tlen, tlen])
+        h2 = jnp.concatenate([h0, h0])
+        ws2 = jnp.concatenate([
+            jnp.full((N,), w0, jnp.int32), jnp.full((N,), w0 * 2, jnp.int32)])
+        res = _sw_core(q2, t2, ql2, tl2, h2, ws2, mat,
+                       o_del, e_del, o_ins, e_ins, end_bonus, zdrop)
+        r1 = {k: v[:N] for k, v in res.items()}
+        r2 = {k: v[N:] for k, v in res.items()}
+        return _retry_select(r1, r2, jnp.int32(w0), jnp.int32(w0 * 2), prev)
+
+    # ---- left (query/target reversed; end bonus = 5' clip penalty) ----
+    lq = _gather_query(codes, l_row, jnp.zeros_like(l_qlen), l_qlen, True, Q)
+    lt = _decode_text(text32, l_tstart, l_tlen, True, TL)
+    h0l = jnp.take(reg_h0seed, l_reg, mode="clip")
+    left = run_side(l_reg, lq, lt, l_qlen, l_tlen, h0l, pen_clip5,
+                    jnp.full(l_reg.shape, -1, jnp.int32))
+
+    # score after left extension per alnreg (a.score = r.score; regs with no
+    # left job keep their seed score) — feeds the right-side h0
+    score_reg = reg_h0seed.at[l_reg].set(left["score"], mode="drop")
+
+    # ---- right ----
+    rq = _gather_query(codes, r_row, r_qstart, r_qlen, False, Q)
+    rt = _decode_text(text32, r_tstart, r_tlen, False, TR)
+    h0r = jnp.take(score_reg, r_reg, mode="clip")
+    right = run_side(r_reg, rq, rt, r_qlen, r_tlen, h0r, pen_clip3, h0r)
+
+    return left, right
 
 
 def extend_pairs_np(pairs, mat, o_del, e_del, o_ins, e_ins, end_bonus, zdrop,

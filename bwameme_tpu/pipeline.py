@@ -52,6 +52,27 @@ class Aligner:
             batched_rescue = seeding_engine is not None and hasattr(
                 seeding_engine, "collect_smems_batch")
         self.batched_rescue = batched_rescue
+        # coordinate-based fused extension (one dispatch for both sides and
+        # both band tries) when the seeding engine holds a device index with
+        # the packed text resident in HBM
+        self.fused_extension = (
+            getattr(getattr(seeding_engine, "di", None), "text32", None)
+            is not None)
+
+    def _extend_batch(self, queries, chains_per_read):
+        if self.fused_extension:
+            try:
+                return extend_mod.extend_chains_batch_fused(
+                    self.opt, self.idx.bns, self.idx.text, queries,
+                    chains_per_read, self.engine.di.text32)
+            except Exception:
+                import sys
+
+                print("[pipeline] fused extension unavailable; falling back"
+                      " to the paired-buffer path", file=sys.stderr)
+                self.fused_extension = False
+        return extend_mod.extend_chains_batch(
+            self.opt, self.idx.bns, self.idx.text, queries, chains_per_read)
 
     def _encode(self, read: Read) -> ReadRec:
         codes = NT4_TABLE[np.frombuffer(read.seq.encode(), dtype=np.uint8)]
@@ -123,9 +144,7 @@ class Aligner:
                                            len(rec.codes), chains)
 
         # kernel 2: extension (batched SW) + dedup
-        regs_per_read = extend_mod.extend_chains_batch(
-            opt, bns, text, queries, chains_per_read
-        )
+        regs_per_read = self._extend_batch(queries, chains_per_read)
         out = []
         for li, (rec, regs) in enumerate(zip(recs, regs_per_read)):
             regs = [r for r in regs if r.qe > r.qb]
@@ -169,9 +188,7 @@ class Aligner:
         for rec, chains in zip(recs, chains_per_read):
             chain_mod.filter_chained_seeds(opt, bns, text, rec.codes,
                                            len(rec.codes), chains)
-        regs_per_read = extend_mod.extend_chains_batch(
-            opt, bns, text, queries, chains_per_read
-        )
+        regs_per_read = self._extend_batch(queries, chains_per_read)
         deduped = []
         for rec, regs in zip(recs, regs_per_read):
             regs = [r for r in regs if r.qe > r.qb]

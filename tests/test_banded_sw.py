@@ -91,3 +91,59 @@ def test_narrow_band():
     q = rng.integers(0, 4, 70).astype(np.int32)
     t = np.concatenate([q[:30], q[25:]]).astype(np.int32)  # 5bp duplication
     check_batch([(q, t, 19, 2), (q, t, 19, 1), (q, t, 19, 0)])
+
+
+def test_fused_extension_matches_buffer_path():
+    """extend_chains_batch_fused (one coordinate-based dispatch, on-device
+    band retries) == extend_chains_batch (per-round buffer dispatches) on
+    mutated/indel/RC/N reads — every alnreg field."""
+    import jax.numpy as jnp
+
+    from bwameme_tpu.align import chain as chain_mod
+    from bwameme_tpu.align import extend as extend_mod
+    from bwameme_tpu.index import bntseq
+    from bwameme_tpu.index.build import build_index
+    from bwameme_tpu.seeding.host_engine import HostSeedingEngine
+
+    rng = np.random.default_rng(77)
+    n = 20000
+    code = rng.integers(0, 4, n).astype(np.uint8)
+    bns = bntseq.BntSeq(
+        l_pac=n, contigs=[bntseq.Contig("cF", "", 0, n, 0)], ambs=[],
+        code=code)
+    idx = build_index(bns, rmi_bits=10)
+    eng = HostSeedingEngine(idx, OPT)
+
+    queries, smems_per = [], []
+    for i in range(60):
+        a = int(rng.integers(0, idx.l_pac - 160))
+        read = idx.text[a: a + 151].copy()
+        for _ in range(rng.poisson(2.0)):
+            p = int(rng.integers(0, 151))
+            read[p] = (read[p] + rng.integers(1, 4)) % 4
+        if rng.random() < 0.3:
+            cut = int(rng.integers(10, 140))
+            ln = int(rng.integers(1, 6))
+            read = np.concatenate([read[:cut], read[cut + ln:]])
+        if i % 3 == 0:
+            read = (3 - read[::-1]) % 4
+        if i % 13 == 0:
+            read[30:33] = 4
+        queries.append(read.astype(np.uint8))
+        smems_per.append(eng.sorted_smems(read))
+
+    ch_a = chain_mod.chain_and_filter_batch(OPT, idx.bns, queries, smems_per,
+                                            idx.sa)
+    ch_b = chain_mod.chain_and_filter_batch(OPT, idx.bns, queries, smems_per,
+                                            idx.sa)
+    regs_a = extend_mod.extend_chains_batch(OPT, idx.bns, idx.text, queries,
+                                            ch_a)
+    regs_b = extend_mod.extend_chains_batch_fused(
+        OPT, idx.bns, idx.text, queries, ch_b, jnp.asarray(idx.text32))
+
+    def sig(regs):
+        return [(r.rb, r.re, r.qb, r.qe, r.rid, r.score, r.truesc, r.w,
+                 r.seedcov, r.seedlen0) for r in regs]
+
+    for a, b in zip(regs_a, regs_b):
+        assert sig(a) == sig(b)
