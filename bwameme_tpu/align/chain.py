@@ -143,24 +143,37 @@ def chain_and_filter_batch(opt, bns, queries: list[np.ndarray],
     fallback. Equivalent to the per-read sequence
     ``filter_chains(opt, chain_seeds(opt, bns, len(q), smems, sa))``."""
     from bwameme_tpu.align import native
+    from bwameme_tpu.seeding.host_engine import FlatSmems
 
     R = len(queries)
-    counts = [len(s) for s in smems_per_read]
-    total = sum(counts)
+    is_flat = isinstance(smems_per_read, FlatSmems)
+    if is_flat:
+        total = len(smems_per_read.start)
+    else:
+        counts = [len(s) for s in smems_per_read]
+        total = sum(counts)
     out = None
     if native.available() and total:
-        smem_off = np.zeros(R + 1, np.int32)
-        np.cumsum(counts, out=smem_off[1:])
-        st = np.empty(total, np.int32)
-        en = np.empty(total, np.int32)
-        lo = np.empty(total, np.int64)
-        cn = np.empty(total, np.int64)
-        k = 0
-        for smems in smems_per_read:
-            for s in smems:
-                st[k], en[k], lo[k], cn[k] = (s.start, s.end, s.sa_lo,
-                                              s.hitcount)
-                k += 1
+        if is_flat:
+            f = smems_per_read
+            smem_off = np.ascontiguousarray(f.off, np.int32)
+            st = np.ascontiguousarray(f.start, np.int32)
+            en = np.ascontiguousarray(f.end, np.int32)
+            lo = np.ascontiguousarray(f.sa_lo, np.int64)
+            cn = np.ascontiguousarray(f.hitcount, np.int64)
+        else:
+            smem_off = np.zeros(R + 1, np.int32)
+            np.cumsum(counts, out=smem_off[1:])
+            st = np.empty(total, np.int32)
+            en = np.empty(total, np.int32)
+            lo = np.empty(total, np.int64)
+            cn = np.empty(total, np.int64)
+            k = 0
+            for smems in smems_per_read:
+                for s in smems:
+                    st[k], en[k], lo[k], cn[k] = (s.start, s.end, s.sa_lo,
+                                                  s.hitcount)
+                    k += 1
         lq = np.asarray([len(q) for q in queries], np.int32)
         ctg_off = np.ascontiguousarray(
             [c.offset for c in bns.contigs], dtype=np.int64)
@@ -171,9 +184,10 @@ def chain_and_filter_batch(opt, bns, queries: list[np.ndarray],
         out = native.chain_and_filter_native(
             opt, bns, lq, smem_off, st, en, lo, cn, sa64, ctg_off, ctg_alt)
     if out is None:
+        lists = (smems_per_read.to_lists() if is_flat else smems_per_read)
         return [
             filter_chains(opt, chain_seeds(opt, bns, len(q), smems, sa))
-            for q, smems in zip(queries, smems_per_read)
+            for q, smems in zip(queries, lists)
         ]
     (chain_off, chain_pos, chain_rid, chain_is_alt, chain_w, chain_kept,
      chain_frac_rep, seed_off, seed_rbeg, seed_qbeg, seed_len, _n) = out

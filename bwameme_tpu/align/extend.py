@@ -244,6 +244,15 @@ def extend_chains_batch_fused(opt, bns, text: np.ndarray,
     tries) is ONE device dispatch of ops.banded_sw.fused_extend_coord —
     the host ships seed coordinates, not sequence bytes. ``text32`` is the
     device-resident packed reference (DeviceIndex.text32)."""
+    return fused_extend_finish(
+        fused_extend_submit(opt, bns, text, queries, chains_per_read, text32))
+
+
+def fused_extend_submit(opt, bns, text, queries, chains_per_read, text32):
+    """Dispatch half of extend_chains_batch_fused: builds the job arrays,
+    enqueues the single fused device program, and returns a token WITHOUT
+    blocking on the results — callers overlap other work (e.g. enqueueing
+    the next batch's seeding) before fused_extend_finish()."""
     import jax.numpy as jnp
 
     from bwameme_tpu.ops.banded_sw import fused_extend_coord
@@ -320,6 +329,7 @@ def extend_chains_batch_fused(opt, bns, text: np.ndarray,
                         a.seedcov = _seedcov(a)
 
     G = len(flat_regs)
+    left = right = None
     if G:
         # ---- one fused dispatch ----
         Lmax = max(len(q) for q in queries)
@@ -356,6 +366,17 @@ def extend_chains_batch_fused(opt, bns, text: np.ndarray,
             opt.pen_clip5, opt.pen_clip3, opt.zdrop, opt.w,
             Q=Q, TL=TL, TR=TR,
         )
+    return (opt, queries, chains_per_read, regs_per_read, srt_per_chain,
+            flat_regs, flat_lq, h0seed, ljobs, rjobs, left, right)
+
+
+def fused_extend_finish(token) -> list[list[AlnReg]]:
+    """Blocking half of extend_chains_batch_fused: transfers the device
+    results, folds them into the alnregs, and runs the contained-seed
+    purge."""
+    (opt, queries, chains_per_read, regs_per_read, srt_per_chain,
+     flat_regs, flat_lq, h0seed, ljobs, rjobs, left, right) = token
+    if left is not None:
         left = {k: np.asarray(v) for k, v in left.items()}
         right = {k: np.asarray(v) for k, v in right.items()}
 

@@ -2,21 +2,27 @@
 
 Scale-out design (SURVEY.md §5 "distributed communication backend"):
 
-* The big arrays — SA positions and the 32-base key planes (72 GB for a human
-  genome in MODE2 layout) — are **sharded along the sorted suffix order**
-  across the `idx` mesh axis. Because the arrays are sorted, equal block
-  sharding *is* key-range sharding: shard s owns global entries
-  [s*B, (s+1)*B).
+* The big arrays — SA positions, the 32-base key planes, and the inverse
+  suffix array (together ~100 GB for a human genome in the MODE-3 layout) —
+  are **sharded** across the `idx` mesh axis: SA and keys along the sorted
+  suffix order (equal block sharding of a sorted array IS key-range
+  sharding), the ISA along text position.
 * The packed 2-bit text (~1.5 GB for human) and the P-RMI leaf parameters
   (~hundreds of MB) are **replicated** — the analog of the reference keeping
   the pac resident per process.
-* A query's guaranteed P-RMI window [lo, hi) may span shard boundaries; each
-  shard binary-searches the intersection with its own block and the global
-  lower bound is recovered with one `psum`:
-      lb_global = Σ_s (lb_s − block_start_s)
-  (shards entirely below the pattern contribute their full block, the owning
-  shard contributes the offset, shards above contribute 0).
-* Point LCP probes are answered by the owning shard and combined with `pmax`.
+* Every global probe (suffix rank -> SA position / suffix key) is answered
+  by the owning shard and combined with one `psum` over the axis: non-owners
+  contribute zero. All shards run identical control flow.
+
+Control-flow shape mirrors the single-chip flat design
+(ops/sa_search.make_search_fns): the P-RMI error window is binary-searched
+in a FIXED number of unrolled rounds, and suffix compares chain through the
+sharded ISA as a static unroll of key-plane gathers — so the per-probe cost
+is 3 collectives (SA position, batched ISA ranks, batched continuation
+keys) and the whole query body contains a single data-dependent while loop
+(the interval-widening fixed point). The earlier nested-while formulation
+compiled on CPU meshes but multiplied XLA compile time ~4x per nesting
+level on real TPUs (see ops/sa_search.py docstring).
 
 Reads are replicated across `idx` (they are tiny next to the index) and
 sharded across the `dp` axis by the pipeline driver; collectives ride ICI.
@@ -25,7 +31,6 @@ sharded across the `dp` axis by the pipeline driver; collectives ride ICI.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -33,8 +38,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bwameme_tpu.ops.sa_search import (
-    _lcp_bases32, extract_pattern_words, keep_masks, query_word_at,
-    text_word_at, FULL,
+    FULL, _lcp_bases32, extract_pattern_words, keep_masks,
 )
 
 
@@ -44,9 +48,10 @@ class ShardedIndex:
 
     mesh: Mesh
     axis: str
-    sa: jax.Array        # int32[N] sharded along axis
-    key_hi: jax.Array    # uint32[N] sharded
-    key_lo: jax.Array    # uint32[N] sharded
+    sa: jax.Array        # int32[N] sharded along axis (by suffix rank)
+    key_hi: jax.Array    # uint32[N] sharded (by suffix rank)
+    key_lo: jax.Array    # uint32[N] sharded (by suffix rank)
+    isa: jax.Array       # int32[N] sharded (by text position)
     text32: jax.Array    # replicated
     leaf_start: jax.Array
     alpha: jax.Array
@@ -55,6 +60,7 @@ class ShardedIndex:
     err_hi: jax.Array
     bits: int
     n_sa: int            # true (unpadded) entry count
+    max_err: int         # widest P-RMI window (static: bounds the search)
 
     @staticmethod
     def shard(idx, mesh: Mesh, axis: str = "idx") -> "ShardedIndex":
@@ -69,6 +75,11 @@ class ShardedIndex:
         klo = np.concatenate(
             [idx.key_lo, np.full(pad, 0xFFFFFFFF, np.uint32)]
         )
+        if idx.isa is None:
+            raise ValueError("sharded search requires the MODE-3 ISA "
+                             "(build_index(with_isa=True))")
+        isa = np.concatenate(
+            [idx.isa, np.zeros(pad, idx.isa.dtype)]).astype(np.int32)
         shard_spec = NamedSharding(mesh, P(axis))
         repl = NamedSharding(mesh, P())
         return ShardedIndex(
@@ -76,6 +87,7 @@ class ShardedIndex:
             sa=jax.device_put(sa, shard_spec),
             key_hi=jax.device_put(khi, shard_spec),
             key_lo=jax.device_put(klo, shard_spec),
+            isa=jax.device_put(isa, shard_spec),
             text32=jax.device_put(np.asarray(idx.text32, np.uint32), repl),
             leaf_start=jax.device_put(np.asarray(idx.rmi_leaf_start, np.int32), repl),
             alpha=jax.device_put(idx.rmi_alpha, repl),
@@ -84,17 +96,21 @@ class ShardedIndex:
             err_hi=jax.device_put(np.asarray(idx.rmi_err_hi, np.int32), repl),
             bits=int(idx.rmi_bits),
             n_sa=n,
+            max_err=int(np.max(np.asarray(idx.rmi_err_lo)
+                               + np.asarray(idx.rmi_err_hi))),
         )
 
 
-def make_sharded_search(si: ShardedIndex):
-    """Build the shard_map'ed query functions."""
+def make_sharded_search(si: ShardedIndex, max_read_words: int = 40):
+    """Build the shard_map'ed query function (flat design)."""
     mesh = si.mesh
     axis = si.axis
     bits = si.bits
     n_sa = si.n_sa
     shift = jnp.uint32(32 - bits)
     rel_mask = jnp.uint32((1 << (32 - bits)) - 1) if bits < 32 else jnp.uint32(0)
+    lb_rounds = max(1, int(np.ceil(np.log2(max(si.max_err, 1) + 1))) + 1)
+    n_segs = max(1, -(-(max_read_words * 16) // 32))
 
     def rmi_window(leaf_start, alpha, beta, err_lo, err_hi, khi, klo):
         leaf = (khi >> shift).astype(jnp.int32)
@@ -110,120 +126,127 @@ def make_sharded_search(si: ShardedIndex):
         hi = jnp.minimum(pred + jnp.take(err_hi, leaf, mode="clip"), n_sa)
         return lo, hi
 
-    def local_suffix_cmp(sa_l, khi_l, klo_l, text32, qbuf32, row, pivot, v,
-                         local_idx, block_n):
-        """(less, lcp) for local entry local_idx (clipped) vs pattern[:v]."""
-        idx = jnp.clip(local_idx, 0, block_n - 1)
-        khi, klo = extract_pattern_words(qbuf32, row, pivot)
-        skhi = jnp.take(khi_l, idx, mode="clip")
-        sklo = jnp.take(klo_l, idx, mode="clip")
-        x_hi = khi ^ skhi
-        x_lo = klo ^ sklo
-        lcp32 = jnp.where(x_hi != 0, _lcp_bases32(x_hi), 16 + _lcp_bases32(x_lo))
-        vc = jnp.minimum(v, 32)
-        diff_before = lcp32 < vc
-        less = jnp.where(x_hi != 0, skhi < khi, sklo < klo)
-        less = jnp.where(diff_before, less, False)
-        lcp = jnp.minimum(lcp32, vc)
-        resolved = diff_before | (v <= 32)
-        tpos = jnp.take(sa_l, idx, mode="clip")
-
-        def cond(st):
-            step, resolved, less, lcp = st
-            return (step < 40) & jnp.any(~resolved)
-
-        def body(st):
-            step, resolved, less, lcp = st
-            off = 32 + step * 16
-            qv = query_word_at(qbuf32, row, pivot + off)
-            tv = text_word_at(text32, tpos + off)
-            x = qv ^ tv
-            chunk_lcp = _lcp_bases32(x)
-            rem = v - off
-            this_lcp = jnp.minimum(chunk_lcp, jnp.maximum(rem, 0))
-            new_lcp = jnp.where(resolved, lcp, off + this_lcp)
-            diff_in = chunk_lcp < jnp.minimum(rem, 16)
-            new_less = jnp.where(resolved, less,
-                                 jnp.where(diff_in, tv < qv, False))
-            return step + 1, resolved | diff_in | (rem <= 16), new_less, new_lcp
-
-        _, _, less, lcp = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), resolved, less, lcp)
-        )
-        return less, lcp
-
-    def per_shard_lb_core(sa_l, khi_l, klo_l, text32, qbuf32, row, pivot, v,
-                          lo, hi, block_n, strict):
-        def cond(st):
-            lo, hi = st
-            return jnp.any(lo < hi)
-
-        def body(st):
-            lo, hi = st
-            mid = (lo + hi) >> 1
-            less, lcp = local_suffix_cmp(
-                sa_l, khi_l, klo_l, text32, qbuf32, row, pivot, v, mid, block_n
-            )
-            pred = less | (lcp >= v) if strict else less
-            active = lo < hi
-            lo = jnp.where(active & pred, mid + 1, lo)
-            hi = jnp.where(active & (~pred), mid, hi)
-            return lo, hi
-
-        lo, _ = jax.lax.while_loop(cond, body, (lo, hi))
-        return lo
-
-    def shard_fn(sa_l, khi_l, klo_l, text32, leaf_start, alpha, beta,
+    def shard_fn(sa_l, khi_l, klo_l, isa_l, text32, leaf_start, alpha, beta,
                  err_lo, err_hi, qbuf32, row, pivot, v, min_intv):
-        """Per-shard body of the full sa_query (see ops/sa_search.sa_query)."""
+        """Per-shard body of the full sa_query (flat probes + psum)."""
         block_n = sa_l.shape[0]
         s_idx = jax.lax.axis_index(axis)
         block_start = s_idx.astype(jnp.int32) * block_n
 
-        def g_lower_bound(khi_k, klo_k, vv, strict):
-            wlo, whi = rmi_window(leaf_start, alpha, beta, err_lo, err_hi,
-                                  khi_k, klo_k)
-            lo0 = jnp.clip(wlo - block_start, 0, block_n)
-            hi0 = jnp.clip(whi - block_start, 0, block_n)
-            lb_local = per_shard_lb_core(
-                sa_l, khi_l, klo_l, text32, qbuf32, row, pivot, vv,
-                lo0, hi0, block_n, strict,
-            )
-            # contribution: entries below window-start in this shard are all
-            # < pattern; within-window contribution = lb_local - lo0
-            contrib = jnp.minimum(
-                jnp.clip(wlo - block_start, 0, block_n), block_n
-            ) + (lb_local - lo0)
-            return jax.lax.psum(contrib, axis)
-
-        def g_lcp(global_idx, cap):
+        def owned(arr, global_idx, fill):
+            """Owner's value of a rank/position-sharded array, psum-combined.
+            Out-of-range global indexes yield `fill`."""
             local = global_idx - block_start
-            mine = (local >= 0) & (local < block_n) & (global_idx >= 0) & (global_idx < n_sa)
-            _, lcp = local_suffix_cmp(
-                sa_l, khi_l, klo_l, text32, qbuf32, row, pivot, cap,
-                jnp.clip(local, 0, block_n - 1), block_n,
-            )
-            return jax.lax.pmax(jnp.where(mine, lcp, 0), axis)
+            mine = (local >= 0) & (local < block_n)
+            val = jnp.take(arr, jnp.clip(local, 0, block_n - 1), mode="clip")
+            tot = jax.lax.psum(jnp.where(mine, val, jnp.zeros_like(val)),
+                               axis)
+            inb = (global_idx >= 0) & (global_idx < n_sa)
+            return jnp.where(inb, tot, fill)
+
+        def suffix_cmp_impl(rank, v, rw, pv):
+            sa_pos = owned(sa_l, rank, jnp.int32(0))
+            if n_segs > 1:
+                offs = jnp.arange(1, n_segs, dtype=jnp.int32) * 32
+                pos_k = sa_pos[:, None] + offs[None, :]
+                in_rng = pos_k < n_sa
+                rank_k = owned(isa_l, jnp.where(in_rng, pos_k, 0),
+                               jnp.int32(0))
+                skhi_k = owned(khi_l, rank_k, FULL)
+                sklo_k = owned(klo_l, rank_k, FULL)
+                skhi_k = jnp.where(in_rng, skhi_k, FULL)
+                sklo_k = jnp.where(in_rng, sklo_k, FULL)
+            less = jnp.zeros(jnp.shape(rank), jnp.bool_)
+            lcp = jnp.zeros(jnp.shape(rank), jnp.int32)
+            resolved = jnp.zeros(jnp.shape(rank), jnp.bool_)
+            for k in range(n_segs):
+                off = 32 * k
+                khi_p, klo_p = extract_pattern_words(qbuf32, rw, pv + off)
+                if k == 0:
+                    skhi = owned(khi_l, rank, FULL)
+                    sklo = owned(klo_l, rank, FULL)
+                else:
+                    skhi = skhi_k[:, k - 1]
+                    sklo = sklo_k[:, k - 1]
+                x_hi = khi_p ^ skhi
+                x_lo = klo_p ^ sklo
+                lcp32 = jnp.where(x_hi != 0, _lcp_bases32(x_hi),
+                                  16 + _lcp_bases32(x_lo))
+                rem = v - off
+                vc = jnp.clip(rem, 0, 32)
+                diff_before = lcp32 < vc
+                less_k = jnp.where(x_hi != 0, skhi < khi_p, sklo < klo_p)
+                less_k = jnp.where(diff_before, less_k, False)
+                lcp_k = off + jnp.minimum(lcp32, vc)
+                less = jnp.where(resolved, less, less_k)
+                lcp = jnp.where(resolved, lcp, lcp_k)
+                resolved = resolved | diff_before | (rem <= 32)
+            oob = (rank < 0) | (rank >= n_sa)
+            lcp = jnp.where(oob, 0, lcp)
+            less = jnp.where(rank < 0, True,
+                             jnp.where(rank >= n_sa, False, less))
+            return less, lcp
 
         khi, klo = extract_pattern_words(qbuf32, row, pivot)
+        # doubled lanes for the double-wide interval search
+        row2 = jnp.concatenate([row, row])
+        pivot2 = jnp.concatenate([pivot, pivot])
 
-        def bounds_at(l):
+        def lower_bound2(vv, wlo, whi, strict):
+            lo, hi = wlo, whi
+            for _ in range(lb_rounds):
+                mid = (lo + hi) >> 1
+                less, lcp = suffix_cmp_impl(mid, vv, row2, pivot2)
+                pred = less | (strict & (lcp >= vv))
+                active = lo < hi
+                lo = jnp.where(active & pred, mid + 1, lo)
+                hi = jnp.where(active & (~pred), mid, hi)
+            return lo
+
+        def interval_at2(l):
             keep_hi, keep_lo = keep_masks(l)
             khi_a = khi & keep_hi
             klo_a = klo & keep_lo
-            lb = g_lower_bound(khi_a, klo_a, l, False)
-            ub = g_lower_bound(khi_a | ~keep_hi, klo_a | ~keep_lo, l, True)
-            return lb, ub - lb
+            wlo_a, whi_a = rmi_window(leaf_start, alpha, beta, err_lo,
+                                      err_hi, khi_a, klo_a)
+            wlo_t, whi_t = rmi_window(leaf_start, alpha, beta, err_lo,
+                                      err_hi, khi_a | ~keep_hi,
+                                      klo_a | ~keep_lo)
+            L = row.shape[0]
+            lb2 = lower_bound2(
+                jnp.concatenate([l, l]),
+                jnp.concatenate([wlo_a, wlo_t]),
+                jnp.concatenate([whi_a, whi_t]),
+                jnp.concatenate([jnp.zeros(L, jnp.bool_),
+                                 jnp.ones(L, jnp.bool_)]),
+            )
+            return lb2[:L], lb2[L:] - lb2[:L]
 
-        # find longest: T-padded full pattern
-        keep_hi, keep_lo = keep_masks(v)
-        ip = g_lower_bound((khi & keep_hi) | ~keep_hi,
-                           (klo & keep_lo) | ~keep_lo,
-                           jnp.maximum(v, 1), False)
-        l0 = g_lcp(ip - 1, jnp.maximum(v, 1))
-        l1 = g_lcp(ip, jnp.maximum(v, 1))
+        def lcp_at(cap, rank):
+            _, l = suffix_cmp_impl(rank, cap,
+                                   row, pivot)
+            return l
+
+        # ---- find longest: T-padded full pattern, single-wide search ----
+        vv = jnp.maximum(v, 1)
+        keep_hi, keep_lo = keep_masks(vv)
+        khi_p = (khi & keep_hi) | ~keep_hi
+        klo_p = (klo & keep_lo) | ~keep_lo
+        wlo, whi = rmi_window(leaf_start, alpha, beta, err_lo, err_hi,
+                              khi_p, klo_p)
+        lo, hi = wlo, whi
+        for _ in range(lb_rounds):
+            mid = (lo + hi) >> 1
+            less, _ = suffix_cmp_impl(mid, vv, row, pivot)
+            active = lo < hi
+            lo = jnp.where(active & less, mid + 1, lo)
+            hi = jnp.where(active & (~less), mid, hi)
+        ip = lo
+        _, l0 = suffix_cmp_impl(ip - 1, vv, row, pivot)
+        _, l1 = suffix_cmp_impl(ip, vv, row, pivot)
         mlen = jnp.where(v <= 0, 0, jnp.maximum(l0, l1))
 
+        # ---- widening fixed point (the single while loop) ----
         def cond(st):
             mlen, lb, cnt, done = st
             return jnp.any(~done)
@@ -231,11 +254,12 @@ def make_sharded_search(si: ShardedIndex):
         def body(st):
             mlen, lb, cnt, done = st
             l_eff = jnp.maximum(mlen, 1)
-            lb2, cnt2 = bounds_at(l_eff)
+            lb2, cnt2 = interval_at2(l_eff)
             lb2 = jnp.where(mlen == 0, 0, lb2)
             cnt2 = jnp.where(mlen == 0, n_sa, cnt2)
             sat = (cnt2 >= min_intv) | (mlen == 0)
-            nxt = jnp.maximum(g_lcp(lb2 - 1, l_eff), g_lcp(lb2 + cnt2, l_eff))
+            nxt = jnp.maximum(lcp_at(l_eff, lb2 - 1),
+                              lcp_at(l_eff, lb2 + cnt2))
             return (jnp.where(done | sat, mlen, nxt),
                     jnp.where(done, lb, lb2),
                     jnp.where(done, cnt, cnt2),
@@ -251,16 +275,17 @@ def make_sharded_search(si: ShardedIndex):
     sharded = jax.jit(
         jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P(), P(), P(),
-                      P(), P(), P(), P(), P()),
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P(), P(),
+                      P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P(), P(), P()),
         )
     )
 
     def sa_query(qbuf32, row, pivot, v, min_intv):
         return sharded(
-            si.sa, si.key_hi, si.key_lo, si.text32, si.leaf_start, si.alpha,
-            si.beta, si.err_lo, si.err_hi, qbuf32, row, pivot, v, min_intv,
+            si.sa, si.key_hi, si.key_lo, si.isa, si.text32, si.leaf_start,
+            si.alpha, si.beta, si.err_lo, si.err_hi, qbuf32, row, pivot, v,
+            min_intv,
         )
 
     return sa_query

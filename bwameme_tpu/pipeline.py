@@ -80,79 +80,42 @@ class Aligner:
 
     def collect_smems(self, recs: list[ReadRec]):
         """Kernel-1 seeding for a batch; uses the engine's batched interface
-        when available (DeviceSeedingEngine)."""
+        when available (DeviceSeedingEngine). Prefers the flat compacted
+        result (a FlatSmems struct) — chaining consumes it without building
+        per-read Smem lists."""
+        if hasattr(self.engine, "sorted_smems_batch_flat"):
+            flat = self.engine.sorted_smems_batch_flat(
+                [r.codes for r in recs])
+            if flat is not None:
+                return flat
         if hasattr(self.engine, "sorted_smems_batch"):
             return self.engine.sorted_smems_batch([r.codes for r in recs])
         return [self.engine.sorted_smems(r.codes) for r in recs]
 
-    def align_batch(self, reads: list[Read]) -> list[str]:
-        """Align a batch of single-end reads; returns SAM line blocks
-        (one string per read, possibly multi-line)."""
-        recs = [self._encode(r) for r in reads]
-        smems_per_read = self.collect_smems(recs)
-        return self._align_from_smems(recs, smems_per_read)
-
-    def align_stream(self, batches):
-        """Double-buffered single-end alignment over an iterable of read
-        batches: the next batch's seeding dispatches run on device while the
-        current batch's chaining/extension/finalize run on the host -- the
-        analog of the reference's 3-stage ktp pipeline (src/fastmap.cpp:
-        730-907). Yields SAM blocks per batch, in order."""
-        engine = self.engine
-        pending = None
-        for reads in batches:
-            recs = [self._encode(r) for r in reads]
-            token = None
-            if hasattr(engine, "submit_batch"):
-                try:
-                    token = engine.submit_batch([r.codes for r in recs])
-                except Exception:
-                    engine.use_fused = False
-                    token = None
-            if pending is not None:
-                yield self._finish_stream(pending)
-            pending = (recs, token)
-        if pending is not None:
-            yield self._finish_stream(pending)
-
-    def _finish_stream(self, item):
-        recs, token = item
-        if token is not None:
-            try:
-                smems = self.engine.finish_batch(token)
-            except Exception:
-                self.engine.use_fused = False
-                smems = self.collect_smems(recs)
-        else:
-            smems = self.collect_smems(recs)
-        return self._align_from_smems(recs, smems)
-
-    def _align_from_smems(self, recs: list[ReadRec],
-                          smems_per_read) -> list[str]:
-        """Kernels 2-3 for an already-seeded batch."""
-        opt = self.opt
-        idx = self.idx
-        bns = idx.bns
-        text = idx.text
-        sa_pos = getattr(self.engine, "sa_positions", idx.sa)
-
+    def _chain_batch(self, recs, smems_per_read):
+        """Kernel-1 tail: chaining + chain filters for a seeded batch."""
+        opt, idx = self.opt, self.idx
         queries = [r.codes for r in recs]
         chains_per_read = chain_mod.chain_and_filter_batch(
-            opt, bns, queries, smems_per_read, sa_pos)
+            opt, idx.bns, queries, smems_per_read,
+            getattr(self.engine, "sa_positions", idx.sa))
         for rec, chains in zip(recs, chains_per_read):
-            chain_mod.filter_chained_seeds(opt, bns, text, rec.codes,
+            chain_mod.filter_chained_seeds(opt, idx.bns, idx.text, rec.codes,
                                            len(rec.codes), chains)
+        return queries, chains_per_read
 
-        # kernel 2: extension (batched SW) + dedup
-        regs_per_read = self._extend_batch(queries, chains_per_read)
+    def _finalize_se(self, recs, regs_per_read) -> list[str]:
+        """Kernel 3 for single-end reads: dedup, primary marking, SAM."""
+        opt, idx = self.opt, self.idx
+        bns, text = idx.bns, idx.text
         out = []
         for li, (rec, regs) in enumerate(zip(recs, regs_per_read)):
             regs = [r for r in regs if r.qe > r.qb]
             regs = finalize.sort_dedup_patch(opt, bns, text, rec.codes, regs)
             for r in regs:
-                if r.rid >= 0 and getattr(bns.contigs[r.rid], "is_alt", False):
+                if r.rid >= 0 and getattr(bns.contigs[r.rid], "is_alt",
+                                          False):
                     r.is_alt = True
-            # kernel 3: SAM
             regs = finalize.mark_primary(opt, regs, self.n_processed + li)
             if opt.flag & MEM_F_PRIMARY5:
                 finalize.reorder_primary5(opt.T, regs)
@@ -167,6 +130,96 @@ class Aligner:
         self.n_processed += len(recs)
         return out
 
+    def align_batch(self, reads: list[Read]) -> list[str]:
+        """Align a batch of single-end reads; returns SAM line blocks
+        (one string per read, possibly multi-line)."""
+        recs = [self._encode(r) for r in reads]
+        smems_per_read = self.collect_smems(recs)
+        return self._align_from_smems(recs, smems_per_read)
+
+    def align_stream(self, batches):
+        """Pipelined single-end alignment over an iterable of read batches —
+        the analog of the reference's 3-stage ktp pipeline (src/fastmap.cpp:
+        730-907), scheduled for a single device executing dispatches FIFO:
+
+          seed(k) · extend(k) · seed(k+1) · extend(k+1) · ...
+
+        For batch k the host waits on seed(k), chains (native, ~ms), then
+        enqueues extend(k) *before* seed(k+1) so extension is never stuck
+        behind the next batch's seeding; host finalization of batch k then
+        overlaps seed(k+1) on the device. Yields SAM blocks per batch, in
+        order."""
+        engine = self.engine
+        pending = None
+        for reads in batches:
+            recs = [self._encode(r) for r in reads]
+            if pending is None:
+                pending = (recs, self._submit_seed(recs))
+                continue
+            sam, next_token = self._finish_stream(pending, next_recs=recs)
+            yield sam
+            pending = (recs, next_token)
+        if pending is not None:
+            sam, _ = self._finish_stream(pending, next_recs=None)
+            yield sam
+
+    def _submit_seed(self, recs):
+        if not hasattr(self.engine, "submit_batch"):
+            return None
+        try:
+            return self.engine.submit_batch([r.codes for r in recs])
+        except Exception:
+            self.engine.use_fused = False
+            return None
+
+    def _finish_stream(self, item, next_recs=None):
+        """Process one pipelined batch; returns (sam_blocks, token for
+        next_recs' seeding, submitted between this batch's extension
+        dispatch and its host finalization)."""
+        recs, token = item
+        smems = None
+        if token is not None:
+            try:
+                smems = self.engine.finish_batch_flat(token)
+                if smems is None:
+                    lst = self.engine.finish_batch(token)
+                    smems = [sorted(sm, key=lambda s: (s.start, s.end))
+                             for sm in lst]
+            except Exception:
+                self.engine.use_fused = False
+                smems = None
+        if smems is None:
+            smems = self.collect_smems(recs)
+        queries, chains_per_read = self._chain_batch(recs, smems)
+
+        ext_token = None
+        if self.fused_extension:
+            try:
+                ext_token = extend_mod.fused_extend_submit(
+                    self.opt, self.idx.bns, self.idx.text, queries,
+                    chains_per_read, self.engine.di.text32)
+            except Exception:
+                import sys
+
+                print("[pipeline] fused extension unavailable; falling back"
+                      " to the paired-buffer path", file=sys.stderr)
+                self.fused_extension = False
+        next_token = self._submit_seed(next_recs) if next_recs else None
+        if ext_token is not None:
+            regs_per_read = extend_mod.fused_extend_finish(ext_token)
+        else:
+            regs_per_read = extend_mod.extend_chains_batch(
+                self.opt, self.idx.bns, self.idx.text, queries,
+                chains_per_read)
+        return self._finalize_se(recs, regs_per_read), next_token
+
+    def _align_from_smems(self, recs: list[ReadRec],
+                          smems_per_read) -> list[str]:
+        """Kernels 2-3 for an already-seeded batch."""
+        queries, chains_per_read = self._chain_batch(recs, smems_per_read)
+        regs_per_read = self._extend_batch(queries, chains_per_read)
+        return self._finalize_se(recs, regs_per_read)
+
     def align_pairs(self, reads: list[Read]) -> list[str]:
         """Align interleaved paired-end reads (R1,R2,R1,R2,...); returns SAM
         line blocks per read. Mirrors the PE flow of mem_process_seqs
@@ -179,24 +232,25 @@ class Aligner:
         bns = idx.bns
         text = idx.text
         recs = [self._encode(r) for r in reads]
-        sa_pos = getattr(self.engine, "sa_positions", idx.sa)
 
-        smems_per_read = self.collect_smems(recs)
-        queries = [r.codes for r in recs]
-        chains_per_read = chain_mod.chain_and_filter_batch(
-            opt, bns, queries, smems_per_read, sa_pos)
-        for rec, chains in zip(recs, chains_per_read):
-            chain_mod.filter_chained_seeds(opt, bns, text, rec.codes,
-                                           len(rec.codes), chains)
-        regs_per_read = self._extend_batch(queries, chains_per_read)
+        # kernels 1-2 in device-sized batches (fixed lane counts keep the
+        # compiled programs unique); pairing statistics stay chunk-wide below
+        bsz = getattr(self.engine, "lanes", None) or len(recs) or 1
         deduped = []
-        for rec, regs in zip(recs, regs_per_read):
-            regs = [r for r in regs if r.qe > r.qb]
-            regs = finalize.sort_dedup_patch(opt, bns, text, rec.codes, regs)
-            for r in regs:
-                if r.rid >= 0 and getattr(bns.contigs[r.rid], "is_alt", False):
-                    r.is_alt = True
-            deduped.append(regs)
+        for b0 in range(0, len(recs), bsz):
+            part = recs[b0: b0 + bsz]
+            smems_per_read = self.collect_smems(part)
+            queries, chains_per_read = self._chain_batch(part, smems_per_read)
+            regs_per_read = self._extend_batch(queries, chains_per_read)
+            for rec, regs in zip(part, regs_per_read):
+                regs = [r for r in regs if r.qe > r.qb]
+                regs = finalize.sort_dedup_patch(opt, bns, text, rec.codes,
+                                                regs)
+                for r in regs:
+                    if r.rid >= 0 and getattr(bns.contigs[r.rid], "is_alt",
+                                              False):
+                        r.is_alt = True
+                deduped.append(regs)
 
         # insert-size statistics over the whole chunk
         pes = pairing.pestat(opt, bns.l_pac, deduped)

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from bwameme_tpu.index.packing import pack_words
 from bwameme_tpu.ops.sa_search import DeviceIndex, make_search_fns
-from bwameme_tpu.seeding.host_engine import HostSeedingEngine, Smem
+from bwameme_tpu.seeding.host_engine import (FlatSmems, HostSeedingEngine,
+                                             Smem)
 
 # state-machine phases
 DONE = 0
@@ -63,6 +64,67 @@ class DeviceSeedingEngine:
         _f23 = _os.environ.get("BWAMEME_FUSE_STEPS23", "1") == "1"
         self.fuse_step3 = _f23
         self.fuse_step2 = _f23
+        self._pack = self._build_pack()
+        # per-read average emission capacity of the packed (compacted)
+        # result transfer; overflow falls back to the full slot transfer
+        self.pack_cap_per_read = 24
+
+    # ---------------------------------------------------------------- pack
+    def _build_pack(self):
+        """Device-side compaction of the (up to) three rounds' emission
+        slots: the fused steps return mostly-empty (4, R, M+1) slot arrays
+        whose full transfer dominates seeding wall time on a thin
+        host<->device link; this 4th dispatch sorts all valid emissions by
+        (read, start, end) -- the mem_smem_sort_lt order chaining consumes
+        -- and emits one dense (3, cap) int32 buffer: start<<10|end,
+        sa_lo, hitcount."""
+
+        def pack(pairs_flat, cap):
+            # pairs_flat: tuple (slots_a, ns_a, slots_b, ns_b, ...)
+            sts, ens, lbs, cns, vals = [], [], [], [], []
+            R = None
+            for i in range(0, len(pairs_flat), 2):
+                slots, ns = pairs_flat[i], pairs_flat[i + 1]
+                _, R, M1 = slots.shape
+                ks = jnp.arange(M1, dtype=jnp.int32)
+                sts.append(slots[0])
+                ens.append(slots[1])
+                lbs.append(slots[2])
+                cns.append(slots[3])
+                vals.append(ks[None, :] < ns[:, None])
+            st = jnp.concatenate(sts, axis=1)
+            en = jnp.concatenate(ens, axis=1)
+            lb = jnp.concatenate(lbs, axis=1)
+            cn = jnp.concatenate(cns, axis=1)
+            valid = jnp.concatenate(vals, axis=1)
+            Mt = st.shape[1]
+            read = jax.lax.broadcasted_iota(jnp.int32, (R, Mt), 0)
+            read = jnp.where(valid, read, R)  # invalid rows sort last
+            # stable 3-key lexsort == python sorted(key=(start, end)) with
+            # source order preserved on ties
+            order = jnp.lexsort(
+                (en.reshape(-1), st.reshape(-1), read.reshape(-1)))
+            sel = order[:cap]
+            stp = jnp.take(st.reshape(-1), sel)
+            enp = jnp.take(en.reshape(-1), sel)
+            sten = (stp << 10) | jnp.minimum(enp, 1023)
+            packed = jnp.stack([
+                sten,
+                jnp.take(lb.reshape(-1), sel),
+                jnp.take(cn.reshape(-1), sel),
+            ])
+            counts = valid.sum(axis=1, dtype=jnp.int32)
+            return packed, counts
+
+        jitted = jax.jit(pack, static_argnames=("cap",))
+
+        def run(pairs, cap):
+            flat = []
+            for slots, ns in pairs:
+                flat.extend((slots, ns))
+            return jitted(tuple(flat), cap=cap)
+
+        return run
 
     # ------------------------------------------------------------- packing
     @staticmethod
@@ -165,9 +227,12 @@ class DeviceSeedingEngine:
         # beyond len: clamp to len (rows are T-padded so next-N would be len)
         cols = np.arange(maxlen + 1)
         beyond = cols[None, :] > lens[:, None]
-        nf = np.where(beyond, lens[:, None], nf).astype(np.int32)
-        nr = np.where(beyond, lens[:, None], nr).astype(np.int32)
-        nvf = np.where(beyond, lens[:, None], nvf).astype(np.int32)
+        # table values are positions <= maxlen: ship the narrowest dtype and
+        # widen to int32 on device (host->device link is the scarce resource)
+        dt = np.uint8 if maxlen <= 255 else np.int16
+        nf = np.where(beyond, lens[:, None], nf).astype(dt)
+        nr = np.where(beyond, lens[:, None], nr).astype(dt)
+        nvf = np.where(beyond, lens[:, None], nvf).astype(dt)
         return (jnp.asarray(nf), jnp.asarray(nr), jnp.asarray(nvf),
                 jnp.asarray(lens.astype(np.int32)))
 
@@ -242,11 +307,42 @@ class DeviceSeedingEngine:
                 self.di, qbuf, nf, lens, jnp.int32(opt.max_mem_intv),
                 jnp.int32(opt.min_seed_len + 1), M=M,
             )
-        return (codes_list, qbuf, next_f, next_r, d1, d2, d3)
+        packed = None
+        if d2 is not None and (opt.max_mem_intv <= 0 or d3 is not None):
+            # all rounds device-resident: enqueue the compaction dispatch so
+            # only the dense sorted buffer crosses the link
+            pairs = [d1, d2] + ([d3] if d3 is not None else [])
+            cap = len(codes_list) * self.pack_cap_per_read
+            packed = self._pack(pairs, cap)
+        return (codes_list, qbuf, next_f, next_r, d1, d2, d3, packed)
+
+    def finish_batch_flat(self, token):
+        """Materialize a submit_batch token into the flat SMEM struct
+        consumed by native chaining: (smem_off int32[R+1], start, end int32,
+        sa_lo, hitcount int64 — all (n,) arrays, per-read runs sorted by
+        (start, end)). Returns None when the packed transfer is unavailable
+        or overflowed (caller uses finish_batch)."""
+        packed = token[7]
+        if packed is None:
+            return None
+        R = len(token[0])
+        buf, counts = (np.asarray(packed[0]), np.asarray(packed[1]))
+        total = int(counts.sum())
+        if total > buf.shape[1]:
+            return None  # cap overflow: fall back to the full slot transfer
+        smem_off = np.zeros(R + 1, np.int32)
+        np.cumsum(counts, out=smem_off[1:])
+        sten = buf[0, :total]
+        start = sten >> 10
+        end = sten & 1023
+        return FlatSmems(smem_off, start.astype(np.int32),
+                         end.astype(np.int32),
+                         buf[1, :total].astype(np.int64),
+                         buf[2, :total].astype(np.int64))
 
     def finish_batch(self, token) -> list[list[Smem]]:
         """Materialize a submit_batch token into per-read SMEM lists."""
-        codes_list, qbuf, next_f, next_r, d1, d2, d3 = token
+        codes_list, qbuf, next_f, next_r, d1, d2, d3 = token[:7]
         opt = self.opt
         R = len(codes_list)
 
@@ -467,6 +563,8 @@ class DeviceSeedingEngine:
         def fused(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
                   split_len, split_width, minseed, M1, M2):
             fns = raw(di)
+            nf = nf.astype(jnp.int32)
+            nr = nr.astype(jnp.int32)
             R, Lp = nf.shape
             lane = jnp.arange(R, dtype=jnp.int32)
             nf_f = nf.reshape(-1)
@@ -618,6 +716,9 @@ class DeviceSeedingEngine:
 
         def fused(di, qbuf, nf, nr, nvf, lens, minseed, M):
             fns = raw(di)
+            nf = nf.astype(jnp.int32)
+            nr = nr.astype(jnp.int32)
+            nvf = nvf.astype(jnp.int32)
             R, Lp = nf.shape
             lane = jnp.arange(R, dtype=jnp.int32)
             nf_f = nf.reshape(-1)
@@ -737,6 +838,7 @@ class DeviceSeedingEngine:
 
         def fused(di, qbuf, nf, lens, min_intv, min_seed, M):
             fns = raw(di)
+            nf = nf.astype(jnp.int32)
             R, Lp = nf.shape
             lane = jnp.arange(R, dtype=jnp.int32)
             nf_f = nf.reshape(-1)
@@ -947,6 +1049,22 @@ class DeviceSeedingEngine:
     def sorted_smems_batch(self, codes_list: list[np.ndarray]) -> list[list[Smem]]:
         out = self.collect_smems_batch(codes_list)
         return [sorted(sm, key=lambda s: (s.start, s.end)) for sm in out]
+
+    def sorted_smems_batch_flat(self, codes_list) -> FlatSmems | None:
+        """Seeding for a batch as the flat (start,end)-sorted struct that
+        native chaining consumes without building per-read Smem lists.
+        None when the fused+packed path is unavailable (caller falls back to
+        sorted_smems_batch)."""
+        if not self.use_fused:
+            return None
+        try:
+            token = self.submit_batch(codes_list)
+        except Exception:
+            self.use_fused = False
+            return None
+        if token is None:
+            return None
+        return self.finish_batch_flat(token)
 
     def sorted_smems(self, codes: np.ndarray) -> list[Smem]:
         return self.sorted_smems_batch([codes])[0]

@@ -37,6 +37,27 @@ class Smem:
     hitcount: int   # suffix-array interval size
 
 
+@dataclasses.dataclass
+class FlatSmems:
+    """A batch's SMEMs as flat arrays (the layout native chaining consumes
+    directly): per-read runs delimited by ``off``, each run sorted by
+    (start, end). Produced by DeviceSeedingEngine.finish_batch_flat."""
+
+    off: "object"       # int32[R+1] prefix offsets
+    start: "object"     # int32[n]
+    end: "object"       # int32[n]
+    sa_lo: "object"     # int64[n]
+    hitcount: "object"  # int64[n]
+
+    def to_lists(self) -> list[list[Smem]]:
+        return [
+            [Smem(int(self.start[k]), int(self.end[k]), int(self.sa_lo[k]),
+                  int(self.hitcount[k]))
+             for k in range(int(self.off[i]), int(self.off[i + 1]))]
+            for i in range(len(self.off) - 1)
+        ]
+
+
 class HostSeedingEngine:
     def __init__(self, idx, opt) -> None:
         self.idx = idx

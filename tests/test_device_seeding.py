@@ -114,3 +114,15 @@ def test_fully_fused_steps_parity(engines):
     for x, y in zip(a, b):
         assert [(s.start, s.end, s.sa_lo, s.hitcount) for s in x] == \
                [(s.start, s.end, s.sa_lo, s.hitcount) for s in y]
+
+    # the packed/compacted transfer (flat struct) must carry the exact same
+    # SMEMs in the same (start, end)-sorted per-read order
+    flat = fused.sorted_smems_batch_flat(reads)
+    assert flat is not None
+    for i, x in enumerate(a):
+        got = [
+            (int(flat.start[k]), int(flat.end[k]), int(flat.sa_lo[k]),
+             int(flat.hitcount[k]))
+            for k in range(int(flat.off[i]), int(flat.off[i + 1]))
+        ]
+        assert got == [(s.start, s.end, s.sa_lo, s.hitcount) for s in x]
