@@ -135,13 +135,12 @@ def chain_seeds(opt, bns, l_query: int, smems: list[Smem], sa: np.ndarray) -> li
     return chains
 
 
-def chain_and_filter_batch(opt, bns, queries: list[np.ndarray],
-                           smems_per_read, sa: np.ndarray) -> list[list[Chain]]:
-    """chain_seeds + filter_chains for a whole batch, through the native C++
-    kernel (native/hostkernels.cpp:chain_and_filter_c) when available; the
-    Python implementations above remain the documented contract and the
-    fallback. Equivalent to the per-read sequence
-    ``filter_chains(opt, chain_seeds(opt, bns, len(q), smems, sa))``."""
+def chain_and_filter_raw(opt, bns, queries: list[np.ndarray],
+                         smems_per_read, sa: np.ndarray):
+    """Native batched chaining, returning the FLAT arrays
+    (chain_off, pos, rid, is_alt, w, kept, frac_rep, seed_off, seed_rbeg,
+    seed_qbeg, seed_len, n_chains) — or None when the native kernel is
+    unavailable/overflowed (callers use chain_and_filter_batch)."""
     from bwameme_tpu.align import native
     from bwameme_tpu.seeding.host_engine import FlatSmems
 
@@ -183,6 +182,21 @@ def chain_and_filter_batch(opt, bns, queries: list[np.ndarray],
         sa64 = np.ascontiguousarray(sa, dtype=np.int64)
         out = native.chain_and_filter_native(
             opt, bns, lq, smem_off, st, en, lo, cn, sa64, ctg_off, ctg_alt)
+    return out
+
+
+def chain_and_filter_batch(opt, bns, queries: list[np.ndarray],
+                           smems_per_read, sa: np.ndarray) -> list[list[Chain]]:
+    """chain_seeds + filter_chains for a whole batch, through the native C++
+    kernel (native/hostkernels.cpp:chain_and_filter_c) when available; the
+    Python implementations above remain the documented contract and the
+    fallback. Equivalent to the per-read sequence
+    ``filter_chains(opt, chain_seeds(opt, bns, len(q), smems, sa))``."""
+    from bwameme_tpu.seeding.host_engine import FlatSmems
+
+    R = len(queries)
+    is_flat = isinstance(smems_per_read, FlatSmems)
+    out = chain_and_filter_raw(opt, bns, queries, smems_per_read, sa)
     if out is None:
         lists = (smems_per_read.to_lists() if is_flat else smems_per_read)
         return [

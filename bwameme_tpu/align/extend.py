@@ -421,6 +421,135 @@ def fused_extend_finish(token) -> list[list[AlnReg]]:
     return regs_per_read
 
 
+def rescore_is_noop(opt, queries) -> bool:
+    """True when mem_flt_chained_seeds (seed SW re-scoring) is a no-op for
+    every read in the batch — the short-read fast-path precondition
+    (reference: src/bwamem.cpp:571-574: the whole pass is skipped when
+    min_l > MEM_SEEDSW_COEF * l_query)."""
+    import math
+
+    for q in queries:
+        lq = len(q)
+        if lq <= 0:
+            continue
+        min_l = (MEM_HSP_COEF_ * opt.min_chain_weight
+                 if opt.min_chain_weight
+                 else MEM_MINSC_COEF_ * math.log(lq))
+        if min_l <= MEM_SEEDSW_COEF_ * lq:
+            return False
+    return True
+
+
+MEM_HSP_COEF_ = 1.1
+MEM_MINSC_COEF_ = 5.5
+MEM_SEEDSW_COEF_ = 0.05
+
+
+def extend_flat_submit(opt, bns, queries, chain_raw, text32):
+    """Fully-native fast path of the fused extension: alnreg table and
+    coordinate jobs built by C++ (extend_prepare_c) straight from the flat
+    chain arrays — no per-seed Python. Returns a token for
+    extend_flat_finish, or None when native/preconditions are unavailable
+    (callers use fused_extend_submit on dataclass chains)."""
+    import jax.numpy as jnp
+
+    from bwameme_tpu.align import native
+    from bwameme_tpu.ops.banded_sw import fused_extend_coord
+
+    if not native.available() or chain_raw is None:
+        return None
+    (chain_off, _pos, chain_rid, chain_is_alt, _w, _kept, chain_frac_rep,
+     seed_off, seed_rbeg, seed_qbeg, seed_len, _n) = chain_raw
+    R = len(queries)
+    lq = np.asarray([len(q) for q in queries], np.int32)
+    ctg_off = np.ascontiguousarray(
+        [c.offset for c in bns.contigs], dtype=np.int64)
+    prep = native.extend_prepare_native(
+        opt, bns, lq, chain_off, chain_rid, chain_frac_rep, seed_off,
+        seed_rbeg, seed_qbeg, seed_len, ctg_off)
+    if prep is None:
+        return None
+    G = prep["n_regs"]
+    left = right = None
+    if G:
+        Lmax = max(len(q) for q in queries)
+        codes = np.zeros((R, Lmax), dtype=np.uint8)
+        for i, q in enumerate(queries):
+            codes[i, : len(q)] = np.minimum(q, 4)
+        NL, NR = prep["n_left"], prep["n_right"]
+        lane_ladder = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+        NLp = _bucket(max(NL, 1), lane_ladder)
+        NRp = _bucket(max(NR, 1), lane_ladder)
+        Gp = _bucket(G, lane_ladder)
+
+        def pad32(a, n, cap, fill=0):
+            out = np.full(cap, fill, np.int32)
+            out[:n] = a[:n]
+            return jnp.asarray(out)
+
+        h0s = np.zeros(Gp, np.int32)
+        h0s[:G] = prep["reg_h0seed"][:G]
+        Q = int(max(prep["l_qlen"][:NL].max(initial=1),
+                    prep["r_qlen"][:NR].max(initial=1)))
+        Q = _bucket(Q, (64, 128, 192, 256, 512))
+        TL = _bucket(int(prep["l_tlen"][:NL].max(initial=1)),
+                     (128, 256, 384, 512, 1024, 2048))
+        TR = _bucket(int(prep["r_tlen"][:NR].max(initial=1)),
+                     (128, 256, 384, 512, 1024, 2048))
+        left, right = fused_extend_coord(
+            text32, jnp.asarray(codes), jnp.asarray(opt.mat.astype(np.int32)),
+            jnp.asarray(h0s),
+            pad32(prep["l_reg"], NL, NLp, Gp), pad32(prep["l_row"], NL, NLp),
+            pad32(prep["l_qlen"], NL, NLp),
+            pad32(prep["l_tstart"].astype(np.int32), NL, NLp),
+            pad32(prep["l_tlen"], NL, NLp),
+            pad32(prep["r_reg"], NR, NRp, Gp), pad32(prep["r_row"], NR, NRp),
+            pad32(prep["r_qstart"], NR, NRp), pad32(prep["r_qlen"], NR, NRp),
+            pad32(prep["r_tstart"].astype(np.int32), NR, NRp),
+            pad32(prep["r_tlen"], NR, NRp),
+            opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+            opt.pen_clip5, opt.pen_clip3, opt.zdrop, opt.w,
+            Q=Q, TL=TL, TR=TR,
+        )
+    return (opt, queries, lq, chain_raw, prep, left, right)
+
+
+def extend_flat_finish(token) -> list[list[AlnReg]]:
+    """Blocking half of extend_flat_submit: transfer, native fold +
+    seedcov + purge, then materialize per-read AlnReg lists."""
+    from bwameme_tpu.align import native
+
+    (opt, queries, lq, chain_raw, prep, left, right) = token
+    (chain_off, _pos, chain_rid, chain_is_alt, _w, _kept, _frep,
+     seed_off, seed_rbeg, seed_qbeg, seed_len, _n) = chain_raw
+    R = len(queries)
+    G = prep["n_regs"]
+    if G:
+        left = {k: np.asarray(v) for k, v in left.items()}
+        right = {k: np.asarray(v) for k, v in right.items()}
+        # per-read reg offsets: reg_read ascends by construction
+        read_reg_off = np.searchsorted(
+            prep["reg_read"][:G], np.arange(R + 1)).astype(np.int32)
+        native.extend_finalize_native(
+            opt, lq, read_reg_off, prep, chain_off, seed_off, seed_rbeg,
+            seed_qbeg, seed_len, left, right)
+    regs_per_read: list[list[AlnReg]] = [[] for _ in queries]
+    alt_of_chain = np.asarray(chain_is_alt) != 0
+    cols = [prep[k][:G].tolist() for k in (
+        "reg_read", "reg_rb", "reg_re", "reg_qb", "reg_qe", "reg_rid",
+        "reg_score", "reg_truesc", "reg_w", "reg_seedcov", "reg_seedlen0",
+        "reg_frac_rep")]
+    alt = alt_of_chain[prep["reg_chain"][:G]].tolist()
+    for (r, rb, re, qb, qe, rid, sc, tsc, w, cov, sl0, frep), ia in zip(
+            zip(*cols), alt):
+        regs_per_read[r].append(AlnReg(
+            rb=rb, re=re, qb=qb, qe=qe, rid=rid, score=sc, truesc=tsc,
+            w=w, seedcov=cov, seedlen0=sl0, frac_rep=frep, is_alt=ia,
+            chain=None,
+        ))
+    return regs_per_read
+
+
 def _purge_contained(opt, queries, chains_per_read, regs_per_read,
                      srt_per_chain):
     # ---- contained-seed purge (reference: src/bwamem.cpp:3390-3489) ----

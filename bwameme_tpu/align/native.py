@@ -67,6 +67,32 @@ def _load():
             i64p, i32p, i32p,                           # seed fields
         ]
         lib.chain_and_filter_c.restype = ctypes.c_int64
+        lib.extend_prepare_c.argtypes = [
+            ctypes.c_int32, i32p,                       # R, l_query
+            i64p, i32p, f64p,                           # chain off/rid/frep
+            i64p, i64p, i32p, i32p,                     # seed off/rbeg/qbeg/len
+            ctypes.c_int64, ctypes.c_int32, i64p,       # l_pac, n_ctg, off
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # a, o_del, e_del
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # o_ins, e_ins, w
+            i32p, i32p, i64p, i32p, i64p,               # read qb rb qe re
+            i32p, i32p, i32p, i32p, i32p, f64p,         # sc tsc w sl0 rid frep
+            i32p, i32p, i32p,                           # h0seed seedcov chain
+            i32p, i32p, i32p, i64p, i32p, i64p,         # left jobs + n
+            i32p, i32p, i32p, i32p, i64p, i32p, i64p,   # right jobs + n
+        ]
+        lib.extend_prepare_c.restype = ctypes.c_int64
+        lib.extend_finalize_c.argtypes = [
+            ctypes.c_int32, i32p, i32p, i32p,           # R lq read_off reg_read
+            i64p, i64p, i64p, i32p, i32p,               # chain/seed arrays
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # a o_del e_del
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # o_ins e_ins w
+            ctypes.c_int32, ctypes.c_int32,             # pen_clip5 pen_clip3
+            ctypes.c_int64, i32p, i64p, i32p, i64p,     # nregs qb rb qe re
+            i32p, i32p, i32p, i32p, i32p, i32p, i32p,   # sc tsc w sl0 cov ch h0
+            ctypes.c_int64, i32p, i32p, i32p, i32p, i32p, i32p, i32p,  # left
+            ctypes.c_int64, i32p, i32p, i32p, i32p, i32p, i32p, i32p,  # right
+        ]
+        lib.extend_finalize_c.restype = None
         _lib = lib
     except Exception:
         _failed = True
@@ -158,6 +184,120 @@ def chain_and_filter_native(opt, bns, l_query, smem_off, smem_start, smem_end,
     return (chain_off, chain_pos, chain_rid, chain_is_alt, chain_w,
             chain_kept, chain_frac_rep, seed_off, seed_rbeg, seed_qbeg,
             seed_len, int(n))
+
+
+def extend_prepare_native(opt, bns, lq, chain_off, chain_rid,
+                          chain_frac_rep, seed_off, seed_rbeg, seed_qbeg,
+                          seed_len, ctg_off):
+    """Native reg-table + coordinate-job construction for the fused
+    extension (contract: align/extend.py:fused_extend_submit's first loop).
+    Returns a dict of arrays or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+
+    def p32(x):
+        return x.ctypes.data_as(i32p)
+
+    def p64(x):
+        return x.ctypes.data_as(i64p)
+
+    R = len(lq)
+    cap = max(int(seed_off[int(chain_off[R])]), 1)
+    o = {
+        "reg_read": np.empty(cap, np.int32),
+        "reg_qb": np.empty(cap, np.int32),
+        "reg_rb": np.empty(cap, np.int64),
+        "reg_qe": np.empty(cap, np.int32),
+        "reg_re": np.empty(cap, np.int64),
+        "reg_score": np.empty(cap, np.int32),
+        "reg_truesc": np.empty(cap, np.int32),
+        "reg_w": np.empty(cap, np.int32),
+        "reg_seedlen0": np.empty(cap, np.int32),
+        "reg_rid": np.empty(cap, np.int32),
+        "reg_frac_rep": np.empty(cap, np.float64),
+        "reg_h0seed": np.empty(cap, np.int32),
+        "reg_seedcov": np.empty(cap, np.int32),
+        "reg_chain": np.empty(cap, np.int32),
+        "l_reg": np.empty(cap, np.int32),
+        "l_row": np.empty(cap, np.int32),
+        "l_qlen": np.empty(cap, np.int32),
+        "l_tstart": np.empty(cap, np.int64),
+        "l_tlen": np.empty(cap, np.int32),
+        "r_reg": np.empty(cap, np.int32),
+        "r_row": np.empty(cap, np.int32),
+        "r_qstart": np.empty(cap, np.int32),
+        "r_qlen": np.empty(cap, np.int32),
+        "r_tstart": np.empty(cap, np.int64),
+        "r_tlen": np.empty(cap, np.int32),
+    }
+    nl = ctypes.c_int64(0)
+    nr = ctypes.c_int64(0)
+    n = lib.extend_prepare_c(
+        R, p32(lq),
+        p64(chain_off), p32(chain_rid),
+        chain_frac_rep.ctypes.data_as(f64p),
+        p64(seed_off), p64(seed_rbeg), p32(seed_qbeg), p32(seed_len),
+        bns.l_pac, len(bns.contigs), p64(ctg_off),
+        opt.a, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, opt.w,
+        p32(o["reg_read"]), p32(o["reg_qb"]), p64(o["reg_rb"]),
+        p32(o["reg_qe"]), p64(o["reg_re"]), p32(o["reg_score"]),
+        p32(o["reg_truesc"]), p32(o["reg_w"]), p32(o["reg_seedlen0"]),
+        p32(o["reg_rid"]), o["reg_frac_rep"].ctypes.data_as(f64p),
+        p32(o["reg_h0seed"]), p32(o["reg_seedcov"]), p32(o["reg_chain"]),
+        p32(o["l_reg"]), p32(o["l_row"]), p32(o["l_qlen"]),
+        p64(o["l_tstart"]), p32(o["l_tlen"]), ctypes.byref(nl),
+        p32(o["r_reg"]), p32(o["r_row"]), p32(o["r_qstart"]),
+        p32(o["r_qlen"]), p64(o["r_tstart"]), p32(o["r_tlen"]),
+        ctypes.byref(nr),
+    )
+    o["n_regs"] = int(n)
+    o["n_left"] = int(nl.value)
+    o["n_right"] = int(nr.value)
+    return o
+
+
+def extend_finalize_native(opt, lq, read_reg_off, prep, chain_off, seed_off,
+                           seed_rbeg, seed_qbeg, seed_len, left, right):
+    """Native fold + seedcov + contained-seed purge (contract:
+    align/extend.py:fused_extend_finish). Mutates prep's reg arrays."""
+    lib = _load()
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+
+    def p32(x):
+        return x.ctypes.data_as(i32p)
+
+    def p64(x):
+        return x.ctypes.data_as(i64p)
+
+    def c32(x):
+        return np.ascontiguousarray(x, np.int32)
+
+    nl, nr = prep["n_left"], prep["n_right"]
+    l_arrs = [c32(left[k][:nl]) for k in
+              ("score", "qle", "tle", "gtle", "gscore", "w_used")]
+    r_arrs = [c32(right[k][:nr]) for k in
+              ("score", "qle", "tle", "gtle", "gscore", "w_used")]
+    lib.extend_finalize_c(
+        len(lq), p32(lq), p32(read_reg_off), p32(prep["reg_read"]),
+        p64(chain_off), p64(seed_off), p64(seed_rbeg), p32(seed_qbeg),
+        p32(seed_len),
+        opt.a, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, opt.w,
+        opt.pen_clip5, opt.pen_clip3,
+        prep["n_regs"], p32(prep["reg_qb"]), p64(prep["reg_rb"]),
+        p32(prep["reg_qe"]), p64(prep["reg_re"]), p32(prep["reg_score"]),
+        p32(prep["reg_truesc"]), p32(prep["reg_w"]),
+        p32(prep["reg_seedlen0"]), p32(prep["reg_seedcov"]),
+        p32(prep["reg_chain"]), p32(prep["reg_h0seed"]),
+        nl, p32(prep["l_reg"]), p32(l_arrs[0]), p32(l_arrs[1]),
+        p32(l_arrs[2]), p32(l_arrs[3]), p32(l_arrs[4]), p32(l_arrs[5]),
+        nr, p32(prep["r_reg"]), p32(r_arrs[0]), p32(r_arrs[1]),
+        p32(r_arrs[2]), p32(r_arrs[3]), p32(r_arrs[4]), p32(r_arrs[5]),
+    )
 
 
 def sw_extend_native(query, target, mat, o_del, e_del, o_ins, e_ins, w,

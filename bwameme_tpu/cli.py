@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--no-isa", action="store_true",
                     help="skip the inverse suffix array (MODE<3 semantics)")
 
+    pv = sub.add_parser("version", help="print version and build configuration",
+                        add_help=False)
+    pv.add_argument("--help", action="help")
+
     pm = sub.add_parser("mem", help="align reads, print SAM on stdout", add_help=False)
     pm.add_argument("--help", action="help")
     pm.add_argument("prefix", help="index prefix (from `index`)")
@@ -252,10 +256,27 @@ def cmd_mem(args) -> int:
     return 0
 
 
+def cmd_version() -> int:
+    """Version + runtime configuration (the analog of `bwa-meme version`,
+    reference: src/main.cpp:104-135, which prints the mode and batch
+    constants)."""
+    import jax
+
+    print(__version__)
+    plats = ",".join(sorted({d.platform for d in jax.devices()})) or "none"
+    print(f"* Backend: JAX {jax.__version__} ({plats}, "
+          f"{jax.device_count()} device(s))", file=sys.stderr)
+    print("* Index tiers: MODE3 when the ISA is built (default), "
+          "MODE<3 with --no-isa", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.cmd == "index":
         return cmd_index(args)
+    if args.cmd == "version":
+        return cmd_version()
     return cmd_mem(args)
 
 

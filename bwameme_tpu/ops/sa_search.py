@@ -241,7 +241,9 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
         max_width = int(np.max(tab[1:] - tab[:-1])) if len(tab) > 1 else 1
     else:
         max_width = int(np.max(np.asarray(di.err_lo) + np.asarray(di.err_hi)))
-    lb_rounds = max(1, int(np.ceil(np.log2(max(max_width, 1) + 1))) + 1)
+    # exact: a lower_bound over an exclusive window of width W converges in
+    # ceil(log2(W+1)) halving rounds (verified exhaustively in tests)
+    lb_rounds = max(1, int(np.ceil(np.log2(max_width + 1))) if max_width else 1)
 
     def build(d: DeviceIndex):
         """Raw (unjitted) search primitives over traced index arrays; use

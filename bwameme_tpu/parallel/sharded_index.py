@@ -109,7 +109,8 @@ def make_sharded_search(si: ShardedIndex, max_read_words: int = 40):
     n_sa = si.n_sa
     shift = jnp.uint32(32 - bits)
     rel_mask = jnp.uint32((1 << (32 - bits)) - 1) if bits < 32 else jnp.uint32(0)
-    lb_rounds = max(1, int(np.ceil(np.log2(max(si.max_err, 1) + 1))) + 1)
+    lb_rounds = max(1, int(np.ceil(np.log2(si.max_err + 1)))
+                    if si.max_err else 1)
     n_segs = max(1, -(-(max_read_words * 16) // 32))
 
     def rmi_window(leaf_start, alpha, beta, err_lo, err_hi, khi, klo):

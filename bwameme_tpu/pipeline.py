@@ -74,6 +74,56 @@ class Aligner:
         return extend_mod.extend_chains_batch(
             self.opt, self.idx.bns, self.idx.text, queries, chains_per_read)
 
+    def _kernel2_submit(self, recs, smems_per_read):
+        """Chaining + extension dispatch for a seeded batch; returns an
+        opaque token for _kernel2_finish. Three tiers:
+        1. flat-native: C++ chaining -> C++ reg/job build -> one device
+           dispatch, no per-seed Python (short reads, native lib, device
+           index);
+        2. fused: dataclass chains + the coordinate device program;
+        3. buffer: dataclass chains + the byte-shipping kernel rounds."""
+        queries = [r.codes for r in recs]
+        if self.fused_extension and extend_mod.rescore_is_noop(self.opt,
+                                                               queries):
+            try:
+                raw = chain_mod.chain_and_filter_raw(
+                    self.opt, self.idx.bns, queries, smems_per_read,
+                    getattr(self.engine, "sa_positions", self.idx.sa))
+                if raw is not None:
+                    tok = extend_mod.extend_flat_submit(
+                        self.opt, self.idx.bns, queries, raw,
+                        self.engine.di.text32)
+                    if tok is not None:
+                        return ("flat", tok)
+            except Exception:
+                import sys
+
+                print("[pipeline] flat-native extension failed; using the"
+                      " dataclass path", file=sys.stderr)
+        queries, chains_per_read = self._chain_batch(recs, smems_per_read)
+        if self.fused_extension:
+            try:
+                return ("fused", extend_mod.fused_extend_submit(
+                    self.opt, self.idx.bns, self.idx.text, queries,
+                    chains_per_read, self.engine.di.text32))
+            except Exception:
+                import sys
+
+                print("[pipeline] fused extension unavailable; falling back"
+                      " to the paired-buffer path", file=sys.stderr)
+                self.fused_extension = False
+        return ("buffer", (queries, chains_per_read))
+
+    def _kernel2_finish(self, token):
+        kind, tok = token
+        if kind == "flat":
+            return extend_mod.extend_flat_finish(tok)
+        if kind == "fused":
+            return extend_mod.fused_extend_finish(tok)
+        queries, chains_per_read = tok
+        return extend_mod.extend_chains_batch(
+            self.opt, self.idx.bns, self.idx.text, queries, chains_per_read)
+
     def _encode(self, read: Read) -> ReadRec:
         codes = NT4_TABLE[np.frombuffer(read.seq.encode(), dtype=np.uint8)]
         return ReadRec(read.name, codes, read.qual, read.comment)
@@ -190,34 +240,16 @@ class Aligner:
                 smems = None
         if smems is None:
             smems = self.collect_smems(recs)
-        queries, chains_per_read = self._chain_batch(recs, smems)
-
-        ext_token = None
-        if self.fused_extension:
-            try:
-                ext_token = extend_mod.fused_extend_submit(
-                    self.opt, self.idx.bns, self.idx.text, queries,
-                    chains_per_read, self.engine.di.text32)
-            except Exception:
-                import sys
-
-                print("[pipeline] fused extension unavailable; falling back"
-                      " to the paired-buffer path", file=sys.stderr)
-                self.fused_extension = False
+        k2 = self._kernel2_submit(recs, smems)
         next_token = self._submit_seed(next_recs) if next_recs else None
-        if ext_token is not None:
-            regs_per_read = extend_mod.fused_extend_finish(ext_token)
-        else:
-            regs_per_read = extend_mod.extend_chains_batch(
-                self.opt, self.idx.bns, self.idx.text, queries,
-                chains_per_read)
+        regs_per_read = self._kernel2_finish(k2)
         return self._finalize_se(recs, regs_per_read), next_token
 
     def _align_from_smems(self, recs: list[ReadRec],
                           smems_per_read) -> list[str]:
         """Kernels 2-3 for an already-seeded batch."""
-        queries, chains_per_read = self._chain_batch(recs, smems_per_read)
-        regs_per_read = self._extend_batch(queries, chains_per_read)
+        regs_per_read = self._kernel2_finish(
+            self._kernel2_submit(recs, smems_per_read))
         return self._finalize_se(recs, regs_per_read)
 
     def align_pairs(self, reads: list[Read]) -> list[str]:
@@ -240,8 +272,8 @@ class Aligner:
         for b0 in range(0, len(recs), bsz):
             part = recs[b0: b0 + bsz]
             smems_per_read = self.collect_smems(part)
-            queries, chains_per_read = self._chain_batch(part, smems_per_read)
-            regs_per_read = self._extend_batch(queries, chains_per_read)
+            regs_per_read = self._kernel2_finish(
+                self._kernel2_submit(part, smems_per_read))
             for rec, regs in zip(part, regs_per_read):
                 regs = [r for r in regs if r.qe > r.qb]
                 regs = finalize.sort_dedup_patch(opt, bns, text, rec.codes,

@@ -482,3 +482,340 @@ int64_t chain_and_filter_c(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native extension orchestration: the host-side halves of the fused
+// coordinate-based extension (mem_chain2aln_across_reads_V2 semantics; the
+// documented contracts are align/extend.py:extend_chains_batch_fused /
+// fused_extend_finish, which cite the reference lines).
+//
+// extend_prepare_c consumes the flat chain arrays emitted by
+// chain_and_filter_c and builds the alnreg table plus the left/right
+// coordinate job arrays for the device program. extend_finalize_c folds the
+// device results back (band-retry already selected on device), computes
+// seed coverage, and runs the contained-seed purge. Between the two calls
+// the caller runs the single device dispatch.
+
+namespace {
+
+inline int32_t pos2rid_x(const int64_t* off, int32_t n, int64_t l_pac,
+                         int64_t pos_f) {
+  if (pos_f >= l_pac) return -1;
+  int32_t lo = 0, hi = n;
+  while (lo < hi) {
+    int32_t mid = (lo + hi) >> 1;
+    if (off[mid] <= pos_f) lo = mid + 1; else hi = mid;
+  }
+  return lo - 1;
+}
+
+struct ExtOpts {
+  int32_t a, o_del, e_del, o_ins, e_ins, band_w;
+};
+
+inline int32_t cal_max_gap_x(const ExtOpts& o, int64_t qlen) {
+  int64_t l_del = (int64_t)((qlen * o.a - o.o_del) / (double)o.e_del + 1.0);
+  int64_t l_ins = (int64_t)((qlen * o.a - o.o_ins) / (double)o.e_ins + 1.0);
+  int64_t l = l_del > l_ins ? l_del : l_ins;
+  if (l < 1) l = 1;
+  int64_t cap = (int64_t)o.band_w << 1;
+  return (int32_t)(l < cap ? l : cap);
+}
+
+// stable argsort of seed indexes by (len, idx) ascending — the processing
+// order key of mem_chain2aln (seeds walked descending from the back)
+inline void seed_srt(const int32_t* len, int64_t n, std::vector<int64_t>& srt) {
+  srt.resize(n);
+  for (int64_t i = 0; i < n; ++i) srt[i] = i;
+  std::stable_sort(srt.begin(), srt.end(),
+                   [&](int64_t x, int64_t y) { return len[x] < len[y]; });
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of alnregs (== total seeds over kept chains).
+int64_t extend_prepare_c(
+    int32_t R, const int32_t* l_query,
+    const int64_t* chain_off, const int32_t* chain_rid,
+    const double* chain_frac_rep,
+    const int64_t* seed_off, const int64_t* seed_rbeg,
+    const int32_t* seed_qbeg, const int32_t* seed_len,
+    int64_t l_pac, int32_t n_contigs, const int64_t* ctg_off,
+    int32_t a, int32_t o_del, int32_t e_del, int32_t o_ins, int32_t e_ins,
+    int32_t band_w,
+    // per-reg outputs (cap = total seeds)
+    int32_t* reg_read, int32_t* reg_qb, int64_t* reg_rb, int32_t* reg_qe,
+    int64_t* reg_re, int32_t* reg_score, int32_t* reg_truesc, int32_t* reg_w,
+    int32_t* reg_seedlen0, int32_t* reg_rid, double* reg_frac_rep,
+    int32_t* reg_h0seed, int32_t* reg_seedcov, int32_t* reg_chain,
+    // job outputs (cap = total seeds)
+    int32_t* l_reg, int32_t* l_row, int32_t* l_qlen, int64_t* l_tstart,
+    int32_t* l_tlen, int64_t* n_left_out,
+    int32_t* r_reg, int32_t* r_row, int32_t* r_qstart, int32_t* r_qlen,
+    int64_t* r_tstart, int32_t* r_tlen, int64_t* n_right_out) {
+  ExtOpts o{a, o_del, e_del, o_ins, e_ins, band_w};
+  int64_t g = 0, nl = 0, nr = 0;
+  std::vector<int64_t> srt;
+  for (int32_t r = 0; r < R; ++r) {
+    int32_t lq = l_query[r];
+    for (int64_t c = chain_off[r]; c < chain_off[r + 1]; ++c) {
+      int64_t s0 = seed_off[c], s1 = seed_off[c + 1];
+      int64_t ns = s1 - s0;
+      if (ns <= 0) continue;
+      // reference window (reference: src/bwamem.cpp:2649-2680)
+      int64_t rmax0 = l_pac << 1, rmax1 = 0;
+      for (int64_t s = s0; s < s1; ++s) {
+        int64_t b = seed_rbeg[s] -
+                    (seed_qbeg[s] + cal_max_gap_x(o, seed_qbeg[s]));
+        int64_t tail = lq - seed_qbeg[s] - seed_len[s];
+        int64_t e = seed_rbeg[s] + seed_len[s] + tail +
+                    cal_max_gap_x(o, tail);
+        if (b < rmax0) rmax0 = b;
+        if (e > rmax1) rmax1 = e;
+      }
+      if (rmax0 < 0) rmax0 = 0;
+      if (rmax1 > (l_pac << 1)) rmax1 = l_pac << 1;
+      if (rmax0 < l_pac && l_pac < rmax1) {
+        if (seed_rbeg[s0] < l_pac) rmax1 = l_pac;
+        else rmax0 = l_pac;
+      }
+      // clamp to the contig holding the first seed, on its strand
+      {
+        int64_t mid = seed_rbeg[s0];
+        int64_t pos_f = mid;
+        bool is_rev = pos_f >= l_pac;
+        if (is_rev) pos_f = (l_pac << 1) - 1 - pos_f;
+        int32_t rid = pos2rid_x(ctg_off, n_contigs, l_pac, pos_f);
+        int64_t far_beg = ctg_off[rid];
+        int64_t far_end = rid + 1 < n_contigs ? ctg_off[rid + 1] : l_pac;
+        if (is_rev) {
+          int64_t t0 = (l_pac << 1) - far_end;
+          int64_t t1 = (l_pac << 1) - far_beg;
+          far_beg = t0;
+          far_end = t1;
+        }
+        if (rmax0 < far_beg) rmax0 = far_beg;
+        if (rmax1 > far_end) rmax1 = far_end;
+      }
+      seed_srt(seed_len + s0, ns, srt);
+      for (int64_t k = ns - 1; k >= 0; --k) {
+        int64_t s = s0 + srt[k];
+        reg_read[g] = r;
+        reg_chain[g] = (int32_t)c;
+        reg_score[g] = -1;
+        reg_truesc[g] = -1;
+        reg_w[g] = band_w;
+        reg_rid[g] = chain_rid[c];
+        reg_frac_rep[g] = chain_frac_rep[c];
+        reg_seedlen0[g] = seed_len[s];
+        reg_seedcov[g] = 0;
+        reg_h0seed[g] = seed_len[s] * a;
+        if (seed_qbeg[s]) {
+          l_reg[nl] = (int32_t)g;
+          l_row[nl] = r;
+          l_qlen[nl] = seed_qbeg[s];
+          l_tstart[nl] = rmax0;
+          l_tlen[nl] = (int32_t)(seed_rbeg[s] - rmax0);
+          ++nl;
+          reg_qb[g] = seed_qbeg[s];
+          reg_rb[g] = seed_rbeg[s];
+        } else {
+          reg_score[g] = reg_truesc[g] = seed_len[s] * a;
+          reg_qb[g] = 0;
+          reg_rb[g] = seed_rbeg[s];
+        }
+        if (seed_qbeg[s] + seed_len[s] != lq) {
+          int32_t qe = seed_qbeg[s] + seed_len[s];
+          r_reg[nr] = (int32_t)g;
+          r_row[nr] = r;
+          r_qstart[nr] = qe;
+          r_qlen[nr] = lq - qe;
+          r_tstart[nr] = seed_rbeg[s] + seed_len[s];
+          r_tlen[nr] = (int32_t)(rmax1 - (seed_rbeg[s] + seed_len[s]));
+          ++nr;
+          reg_qe[g] = qe;
+          reg_re[g] = seed_rbeg[s] + seed_len[s];
+        } else {
+          reg_qe[g] = lq;
+          reg_re[g] = seed_rbeg[s] + seed_len[s];
+          // seedcov for both-ends-anchored regs (left pending if any)
+          if (!seed_qbeg[s]) {
+            int64_t cov = 0;
+            for (int64_t t = s0; t < s1; ++t) {
+              if (seed_qbeg[t] >= reg_qb[g] &&
+                  seed_qbeg[t] + seed_len[t] <= reg_qe[g] &&
+                  seed_rbeg[t] >= reg_rb[g] &&
+                  seed_rbeg[t] + seed_len[t] <= reg_re[g])
+                cov += seed_len[t];
+            }
+            reg_seedcov[g] = (int32_t)cov;
+          }
+        }
+        ++g;
+      }
+    }
+  }
+  *n_left_out = nl;
+  *n_right_out = nr;
+  return g;
+}
+
+void extend_finalize_c(
+    int32_t R, const int32_t* l_query, const int32_t* read_reg_off,
+    const int32_t* reg_read,
+    const int64_t* chain_off, const int64_t* seed_off,
+    const int64_t* seed_rbeg, const int32_t* seed_qbeg,
+    const int32_t* seed_len,
+    int32_t a, int32_t o_del, int32_t e_del, int32_t o_ins, int32_t e_ins,
+    int32_t band_w, int32_t pen_clip5, int32_t pen_clip3,
+    int64_t n_regs, int32_t* reg_qb, int64_t* reg_rb, int32_t* reg_qe,
+    int64_t* reg_re, int32_t* reg_score, int32_t* reg_truesc, int32_t* reg_w,
+    const int32_t* reg_seedlen0, int32_t* reg_seedcov,
+    const int32_t* reg_chain, const int32_t* reg_h0seed,
+    int64_t n_left, const int32_t* l_reg, const int32_t* l_score,
+    const int32_t* l_qle, const int32_t* l_tle, const int32_t* l_gtle,
+    const int32_t* l_gscore, const int32_t* l_wused,
+    int64_t n_right, const int32_t* r_reg, const int32_t* r_score,
+    const int32_t* r_qle, const int32_t* r_tle, const int32_t* r_gtle,
+    const int32_t* r_gscore, const int32_t* r_wused) {
+  ExtOpts o{a, o_del, e_del, o_ins, e_ins, band_w};
+
+  auto seedcov = [&](int64_t g) {
+    int64_t c = reg_chain[g];
+    int64_t s0 = seed_off[c], s1 = seed_off[c + 1];
+    int64_t cov = 0;
+    for (int64_t t = s0; t < s1; ++t) {
+      if (seed_qbeg[t] >= reg_qb[g] &&
+          seed_qbeg[t] + seed_len[t] <= reg_qe[g] &&
+          seed_rbeg[t] >= reg_rb[g] &&
+          seed_rbeg[t] + seed_len[t] <= reg_re[g])
+        cov += seed_len[t];
+    }
+    reg_seedcov[g] = (int32_t)cov;
+  };
+
+  // ---- fold left results (reference: src/bwamem.cpp:3040-3160) ----
+  for (int64_t i = 0; i < n_left; ++i) {
+    int64_t g = l_reg[i];
+    reg_score[g] = l_score[i];
+    int32_t gsc = l_gscore[i];
+    if (gsc <= 0 || gsc <= reg_score[g] - pen_clip5) {
+      reg_qb[g] -= l_qle[i];
+      reg_rb[g] -= l_tle[i];
+      reg_truesc[g] = reg_score[g];
+    } else {
+      reg_qb[g] = 0;
+      reg_rb[g] -= l_gtle[i];
+      reg_truesc[g] = gsc;
+    }
+    if (l_wused[i] > reg_w[g]) reg_w[g] = l_wused[i];
+    seedcov(g);  // complete only when this reg had no right job; harmless
+                 // otherwise (recomputed after the right fold)
+  }
+  // drop the premature seedcov of regs that still extend right: match the
+  // python contract exactly by recomputing below; the extra compute is tiny
+  for (int64_t i = 0; i < n_right; ++i) {
+    int64_t g = r_reg[i];
+    int32_t h0r = reg_score[g] != -1 ? reg_score[g] : reg_h0seed[g];
+    reg_score[g] = r_score[i];
+    int32_t gsc = r_gscore[i];
+    if (gsc <= 0 || gsc <= reg_score[g] - pen_clip3) {
+      reg_qe[g] += r_qle[i];
+      reg_re[g] += r_tle[i];
+      reg_truesc[g] += reg_score[g] - h0r;
+    } else {
+      reg_qe[g] = l_query[reg_read[g]];
+      reg_re[g] += r_gtle[i];
+      reg_truesc[g] += gsc - h0r;
+    }
+    if (r_wused[i] > reg_w[g]) reg_w[g] = r_wused[i];
+    seedcov(g);
+  }
+
+  // ---- contained-seed purge (reference: src/bwamem.cpp:3390-3489) ----
+  std::vector<int64_t> srt;
+  std::vector<char> purged;
+  for (int32_t r = 0; r < R; ++r) {
+    int64_t av0 = read_reg_off[r], av1 = read_reg_off[r + 1];
+    int32_t lq = l_query[r];
+    int64_t lim = 0;
+    int64_t base = av0;
+    for (int64_t c = chain_off[r]; c < chain_off[r + 1]; ++c) {
+      int64_t s0 = seed_off[c], s1 = seed_off[c + 1];
+      int64_t ns = s1 - s0;
+      if (ns <= 0) continue;
+      seed_srt(seed_len + s0, ns, srt);
+      purged.assign(ns, 0);
+      for (int64_t k = ns - 1; k >= 0; --k) {
+        int64_t s = s0 + srt[k];
+        int64_t aln = base + (ns - 1 - k);
+        int64_t v = 0;
+        bool found = false;
+        for (int64_t p = av0; p < av1; ++p) {
+          if (v >= lim) break;
+          if (reg_qb[p] == -1 && reg_qe[p] == -1) continue;
+          if (seed_rbeg[s] < reg_rb[p] ||
+              seed_rbeg[s] + seed_len[s] > reg_re[p] ||
+              seed_qbeg[s] < reg_qb[p] ||
+              seed_qbeg[s] + seed_len[s] > reg_qe[p]) {
+            ++v;
+            continue;
+          }
+          if (seed_len[s] - reg_seedlen0[p] > 0.1 * lq) {
+            ++v;
+            continue;
+          }
+          {
+            int64_t qd = seed_qbeg[s] - reg_qb[p];
+            int64_t rd = seed_rbeg[s] - reg_rb[p];
+            int32_t mg = cal_max_gap_x(o, qd < rd ? qd : rd);
+            int32_t ww = mg < reg_w[p] ? mg : reg_w[p];
+            if (qd - rd < ww && rd - qd < ww) { found = true; break; }
+          }
+          {
+            int64_t qd = reg_qe[p] - (seed_qbeg[s] + seed_len[s]);
+            int64_t rd = reg_re[p] - (seed_rbeg[s] + seed_len[s]);
+            int32_t mg = cal_max_gap_x(o, qd < rd ? qd : rd);
+            int32_t ww = mg < reg_w[p] ? mg : reg_w[p];
+            if (qd - rd < ww && rd - qd < ww) { found = true; break; }
+          }
+          ++v;
+        }
+        if (found) {
+          bool ok = true;
+          for (int64_t v2 = k + 1; v2 < ns; ++v2) {
+            if (purged[v2]) continue;
+            int64_t t = s0 + srt[v2];
+            if (seed_len[t] < seed_len[s] * 0.95) continue;
+            if (seed_qbeg[s] <= seed_qbeg[t] &&
+                seed_qbeg[s] + seed_len[s] - seed_qbeg[t] >=
+                    seed_len[s] >> 2 &&
+                seed_qbeg[t] - seed_qbeg[s] != seed_rbeg[t] - seed_rbeg[s]) {
+              ok = false;
+              break;
+            }
+            if (seed_qbeg[t] <= seed_qbeg[s] &&
+                seed_qbeg[t] + seed_len[t] - seed_qbeg[s] >=
+                    seed_len[s] >> 2 &&
+                seed_qbeg[s] - seed_qbeg[t] != seed_rbeg[s] - seed_rbeg[t]) {
+              ok = false;
+              break;
+            }
+          }
+          if (ok) {
+            reg_qb[aln] = -1;
+            reg_qe[aln] = -1;
+            purged[k] = 1;
+            continue;
+          }
+        }
+        ++lim;
+      }
+      base += ns;
+    }
+  }
+}
+
+}  // extern "C"

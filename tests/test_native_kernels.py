@@ -119,3 +119,56 @@ def test_sw_extend_native_matches(seed):
             [ref.score, ref.qle, ref.tle, ref.gtle, ref.gscore, ref.max_off]
             == out.tolist()
         )
+
+
+def test_flat_native_extension_matches(toy_index):
+    """The fully-native fast path (C++ chaining -> C++ reg/job build ->
+    device dispatch -> C++ fold+seedcov+purge) == the dataclass fused path,
+    every alnreg field, on mutated/indel/RC/N/short reads."""
+    import jax.numpy as jnp
+
+    from bwameme_tpu.align import chain as chain_mod
+    from bwameme_tpu.align import extend as extend_mod
+    from bwameme_tpu.seeding.host_engine import HostSeedingEngine
+
+    idx = toy_index
+    eng = HostSeedingEngine(idx, OPT)
+    rng = np.random.default_rng(5)
+    queries, smems_per = [], []
+    for i in range(80):
+        a = int(rng.integers(0, idx.l_pac - 160))
+        read = idx.text[a: a + 151].copy()
+        for _ in range(rng.poisson(2.0)):
+            p = int(rng.integers(0, 151))
+            read[p] = (read[p] + rng.integers(1, 4)) % 4
+        if rng.random() < 0.3:
+            cut = int(rng.integers(10, 140))
+            ln = int(rng.integers(1, 6))
+            read = np.concatenate([read[:cut], read[cut + ln:]])
+        if i % 3 == 0:
+            read = (3 - read[::-1]) % 4
+        if i % 13 == 0:
+            read[30:33] = 4
+        if i % 37 == 0:
+            read = read[:40]
+        queries.append(read.astype(np.uint8))
+        smems_per.append(eng.sorted_smems(read))
+
+    t32 = jnp.asarray(idx.text32)
+    assert extend_mod.rescore_is_noop(OPT, queries)
+    chains = chain_mod.chain_and_filter_batch(OPT, idx.bns, queries,
+                                              smems_per, idx.sa)
+    ref = extend_mod.extend_chains_batch_fused(OPT, idx.bns, idx.text,
+                                               queries, chains, t32)
+    raw = chain_mod.chain_and_filter_raw(OPT, idx.bns, queries, smems_per,
+                                         idx.sa)
+    tok = extend_mod.extend_flat_submit(OPT, idx.bns, queries, raw, t32)
+    got = extend_mod.extend_flat_finish(tok)
+
+    def sig(regs):
+        return [(r.rb, r.re, r.qb, r.qe, r.rid, r.score, r.truesc, r.w,
+                 r.seedcov, r.seedlen0, round(r.frac_rep, 9), r.is_alt)
+                for r in regs]
+
+    for a, b in zip(ref, got):
+        assert sig(a) == sig(b)

@@ -52,3 +52,23 @@ def test_extract_key64():
             c = int(code[p + i]) if p + i < 100 else 3
             expect = (expect << 2) | c
         assert int(k) == expect
+
+
+def test_lower_bound_round_count_exact():
+    """ceil(log2(W+1)) halving rounds converge an exclusive-window binary
+    search for every window width and insertion point (the static unroll
+    count used by ops/sa_search.make_search_fns and the sharded search)."""
+    import math
+
+    for W in list(range(0, 70)) + [127, 128, 129, 1023, 1024]:
+        rounds = max(1, int(math.ceil(math.log2(W + 1))) if W else 1)
+        for target in range(W + 1):
+            lo, hi = 0, W
+            for _ in range(rounds):
+                if lo < hi:
+                    mid = (lo + hi) >> 1
+                    if mid < target:
+                        lo = mid + 1
+                    else:
+                        hi = mid
+            assert lo == hi == target
