@@ -47,6 +47,8 @@ class DeviceIndex:
     sa: jax.Array          # int32[N]
     key_hi: jax.Array      # uint32[N]
     key_lo: jax.Array      # uint32[N]
+    key2: jax.Array        # uint32[N,2] both key planes, row-fused so one
+    #                        8-byte gather serves a suffix-key probe
     leaf_start: jax.Array  # int32[L+1]
     alpha: jax.Array       # float32[L]
     beta: jax.Array        # float32[L]
@@ -72,6 +74,8 @@ class DeviceIndex:
             sa=jnp.asarray(idx.sa, dtype=jnp.int32),
             key_hi=jnp.asarray(idx.key_hi, dtype=jnp.uint32),
             key_lo=jnp.asarray(idx.key_lo, dtype=jnp.uint32),
+            key2=jnp.asarray(
+                np.stack([idx.key_hi, idx.key_lo], axis=1), dtype=jnp.uint32),
             leaf_start=jnp.asarray(idx.rmi_leaf_start, dtype=jnp.int32),
             alpha=jnp.asarray(idx.rmi_alpha),
             beta=jnp.asarray(idx.rmi_beta),
@@ -85,20 +89,21 @@ class DeviceIndex:
         )
 
 def _di_flatten(di):
-    children = (di.text32, di.sa, di.key_hi, di.key_lo, di.leaf_start,
-                di.alpha, di.beta, di.err_lo, di.err_hi, di.isa,
-                di.kmer_table)
+    children = (di.text32, di.sa, di.key_hi, di.key_lo, di.key2,
+                di.leaf_start, di.alpha, di.beta, di.err_lo, di.err_hi,
+                di.isa, di.kmer_table)
     return children, (di.bits, di.n_sa, di.kmer_bits)
 
 
 def _di_unflatten(aux, children):
     bits, n_sa, kmer_bits = aux
-    (text32, sa, key_hi, key_lo, leaf_start, alpha, beta, err_lo, err_hi,
-     isa, kmer_table) = children
+    (text32, sa, key_hi, key_lo, key2, leaf_start, alpha, beta, err_lo,
+     err_hi, isa, kmer_table) = children
     return DeviceIndex(text32=text32, sa=sa, key_hi=key_hi, key_lo=key_lo,
-                       leaf_start=leaf_start, alpha=alpha, beta=beta,
-                       err_lo=err_lo, err_hi=err_hi, bits=bits, n_sa=n_sa,
-                       isa=isa, kmer_table=kmer_table, kmer_bits=kmer_bits)
+                       key2=key2, leaf_start=leaf_start, alpha=alpha,
+                       beta=beta, err_lo=err_lo, err_hi=err_hi, bits=bits,
+                       n_sa=n_sa, isa=isa, kmer_table=kmer_table,
+                       kmer_bits=kmer_bits)
 
 
 # DeviceIndex is a pytree so it can be a jit ARGUMENT: index arrays must
@@ -305,16 +310,21 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             )
             return less, lcp
 
+        def _key2_at(rank):
+            """(key_hi, key_lo) of a suffix rank in ONE 8-byte gather."""
+            g = jnp.take(d.key2, jnp.clip(rank, 0, n_sa - 1), axis=0,
+                         mode="clip")
+            return g[..., 0], g[..., 1]
+
         def _seg_key(sa_pos, k):
             """32-base key of the suffix continuation at text position
             sa_pos + 32k, via the ISA (all-T beyond the kept range)."""
             pos = sa_pos + 32 * k
             in_range = pos < n_sa
             rank2 = jnp.take(d.isa, jnp.clip(pos, 0, n_sa - 1), mode="clip")
-            skhi = jnp.where(in_range, jnp.take(d.key_hi, rank2, mode="clip"),
-                             FULL)
-            sklo = jnp.where(in_range, jnp.take(d.key_lo, rank2, mode="clip"),
-                             FULL)
+            skhi, sklo = _key2_at(rank2)
+            skhi = jnp.where(in_range, skhi, FULL)
+            sklo = jnp.where(in_range, sklo, FULL)
             return skhi, sklo
 
         def suffix_cmp_flat(qbuf32, row, pivot, v, sa_idx):
@@ -330,8 +340,7 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
                 off = 32 * k
                 khi, klo = extract_pattern_words(qbuf32, row, pivot + off)
                 if k == 0:
-                    skhi = jnp.take(d.key_hi, idx, mode="clip")
-                    sklo = jnp.take(d.key_lo, idx, mode="clip")
+                    skhi, sklo = _key2_at(idx)
                 else:
                     skhi, sklo = _seg_key(sa_pos, k)
                 x_hi = khi ^ skhi
@@ -357,8 +366,7 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             """Fallback (no ISA): key compare + chunked text while loop."""
             idx = jnp.clip(sa_idx, 0, n_sa - 1)
             khi, klo = extract_pattern_words(qbuf32, row, pivot)
-            skhi = jnp.take(d.key_hi, idx, mode="clip")
-            sklo = jnp.take(d.key_lo, idx, mode="clip")
+            skhi, sklo = _key2_at(idx)
             x_hi = khi ^ skhi
             x_lo = klo ^ sklo
             lcp32 = jnp.where(x_hi != 0, _lcp_bases32(x_hi),
@@ -401,16 +409,21 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             return lo
 
         def find_longest(qbuf32, row, pivot, v):
-            """Max LCP of pattern over the whole SA: (mlen, best_ip)."""
+            """Max LCP of pattern over the whole SA: (mlen, best_ip). The
+            two boundary probes (ip-1, ip) ride ONE double-wide round."""
             khi, klo = extract_pattern_words(qbuf32, row, pivot)
             keep_hi, keep_lo = keep_masks(v)
             khi_p = (khi & keep_hi) | ~keep_hi
             klo_p = (klo & keep_lo) | ~keep_lo
             wlo, whi = rmi_window(khi_p, klo_p)
             ip = lower_bound(qbuf32, row, pivot, v, wlo, whi)
-            _, l0 = suffix_cmp(qbuf32, row, pivot, v, ip - 1)
-            _, l1 = suffix_cmp(qbuf32, row, pivot, v, ip)
-            return jnp.maximum(l0, l1), ip
+            L = row.shape[0]
+            row2 = jnp.concatenate([row, row])
+            piv2 = jnp.concatenate([pivot, pivot])
+            v2 = jnp.concatenate([v, v]) if jnp.ndim(v) else v
+            _, l01 = suffix_cmp(qbuf32, row2, piv2, v2,
+                                jnp.concatenate([ip - 1, ip]))
+            return jnp.maximum(l01[:L], l01[L:]), ip
 
         def interval_at(qbuf32, row, pivot, l):
             """(lb, count) of the SA interval of prefix pattern[:l]. Both
@@ -470,9 +483,13 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
                 lb2 = jnp.where(mlen == 0, 0, lb2)
                 cnt2 = jnp.where(mlen == 0, n_sa, cnt2)
                 sat = (cnt2 >= min_intv) | (mlen == 0)
-                l0 = lcp_at(qbuf32, row, pivot, l_eff, lb2 - 1)
-                l1 = lcp_at(qbuf32, row, pivot, l_eff, lb2 + cnt2)
-                nxt = jnp.maximum(l0, l1)
+                L = row.shape[0]
+                _, l01 = suffix_cmp(
+                    qbuf32, jnp.concatenate([row, row]),
+                    jnp.concatenate([pivot, pivot]),
+                    jnp.concatenate([l_eff, l_eff]),
+                    jnp.concatenate([lb2 - 1, lb2 + cnt2]))
+                nxt = jnp.maximum(l01[:L], l01[L:])
                 new_mlen = jnp.where(done | sat, mlen, nxt)
                 new_lb = jnp.where(done, lb, lb2)
                 new_cnt = jnp.where(done, cnt, cnt2)

@@ -42,8 +42,11 @@ class DeviceSeedingEngine:
         self.opt = opt
         self.di = DeviceIndex.from_host(
             idx, ert_bits=(ert_bits if root == "kmer" else None))
+        # compare depth: patterns never exceed the read length, so the
+        # suffix-compare unroll needs exactly ceil(max_read_len/32) 32-base
+        # segments (each segment is ~2 HBM gather rounds — keep it minimal)
         self.fns = make_search_fns(
-            self.di, max_read_words=(max_read_len // 16) + 2, root=root)
+            self.di, max_read_words=-(-max_read_len // 16), root=root)
         self.max_read_len = max_read_len
         # fixed lane count -> exactly one compilation per query kernel
         # (shrinking active sets run with inert lanes; gathers are cheap)
@@ -166,6 +169,12 @@ class DeviceSeedingEngine:
     def _prepare(self, codes_list: list[np.ndarray]):
         R = len(codes_list)
         mat, rcm, lens, maxlen = self._batch_matrix(codes_list)
+        if maxlen > self.max_read_len:
+            raise ValueError(
+                f"read length {maxlen} exceeds this engine's max_read_len="
+                f"{self.max_read_len}; construct DeviceSeedingEngine with a "
+                "larger max_read_len (the reference caps reads at "
+                "LEARNED_MAX_READ_LEN=500, src/macro.h:54)")
         W = (maxlen + 15) // 16 + 3  # +guard words (all T)
         # pack both strand matrices in one vectorized pass
         safe_f = np.where(mat >= 4, 0, mat).astype(np.uint8)
