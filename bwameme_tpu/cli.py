@@ -23,11 +23,13 @@ def build_parser() -> argparse.ArgumentParser:
     pi = sub.add_parser("index", help="build the learned (P-RMI) index", add_help=False)
     pi.add_argument("--help", action="help")
     pi.add_argument("fasta")
-    pi.add_argument("-a", dest="algo", choices=["meme", "mem2", "all"],
+    pi.add_argument("-a", dest="algo",
+                    choices=["meme", "mem2", "ert", "all"],
                     default="meme",
                     help="index type: meme = learned P-RMI (default), "
-                    "mem2 = also build the FM-index, all = both "
-                    "(the ERT k-mer root is always rebuilt at load in O(n))")
+                    "mem2 = also build the FM-index, ert = also persist the "
+                    "ERT k-mer root table (otherwise rebuilt at load in "
+                    "O(n)), all = everything")
     pi.add_argument("-p", "--prefix", default=None, help="index prefix")
     pi.add_argument("--rmi-bits", type=int, default=None)
     pi.add_argument("--no-isa", action="store_true",
@@ -135,6 +137,18 @@ def cmd_index(args) -> int:
         save_fm_index(prefix, fm)
         print(f"[index] FM-index built in {time.time()-t0:.1f}s -> "
               f"{prefix}.fmi.npz", file=sys.stderr)
+    if args.algo in ("ert", "all"):
+        import numpy as np
+
+        from bwameme_tpu.index.ert import build_kmer_table, pick_ert_bits
+
+        t0 = time.time()
+        bits = pick_ert_bits(idx.n_sa)
+        tab = build_kmer_table(idx.key_hi, bits)
+        np.savez(prefix + ".ert.npz", kmer_table=tab,
+                 kmer_bits=np.int64(bits))
+        print(f"[index] ERT k-mer root (K={bits}) built in "
+              f"{time.time()-t0:.1f}s -> {prefix}.ert.npz", file=sys.stderr)
     return 0
 
 
