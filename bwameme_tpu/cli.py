@@ -48,16 +48,16 @@ def build_parser() -> argparse.ArgumentParser:
                     "compatibility; device batching replaces host threads)")
     pm.add_argument("-k", type=int, default=19, help="min seed length")
     pm.add_argument("-w", type=int, default=100, help="band width")
-    pm.add_argument("-d", type=int, default=100, help="Z-dropoff")
+    pm.add_argument("-d", type=int, default=None, help="Z-dropoff")
     pm.add_argument("-r", type=float, default=1.5, help="reseed trigger")
     pm.add_argument("-c", type=int, default=500, help="max occurrences")
-    pm.add_argument("-A", type=int, default=1, help="match score")
-    pm.add_argument("-B", type=int, default=4, help="mismatch penalty")
-    pm.add_argument("-O", type=int, default=6, help="gap open penalty")
-    pm.add_argument("-E", type=int, default=1, help="gap extension penalty")
-    pm.add_argument("-L", type=int, default=5, help="clipping penalty")
-    pm.add_argument("-U", type=int, default=17, help="unpaired penalty")
-    pm.add_argument("-T", type=int, default=30, help="min score to output")
+    pm.add_argument("-A", type=int, default=None, help="match score")
+    pm.add_argument("-B", type=int, default=None, help="mismatch penalty")
+    pm.add_argument("-O", type=int, default=None, help="gap open penalty")
+    pm.add_argument("-E", type=int, default=None, help="gap extension penalty")
+    pm.add_argument("-L", type=int, default=None, help="clipping penalty")
+    pm.add_argument("-U", type=int, default=None, help="unpaired penalty")
+    pm.add_argument("-T", type=int, default=None, help="min score to output")
     pm.add_argument("-K", type=int, default=None,
                     help="chunk size in bp (reproducibility knob)")
     pm.add_argument("-R", default=None, help="read group header line")
@@ -163,16 +163,49 @@ def cmd_mem(args) -> int:
     )
     from bwameme_tpu.utils.timer import StageTimer
 
+    a_ = args.A if args.A is not None else 1
     opt = MemOptions(
-        a=args.A, b=args.B, o_del=args.O, o_ins=args.O, e_del=args.E,
-        e_ins=args.E, w=args.w, zdrop=args.d, min_seed_len=args.k,
-        split_factor=args.r, max_occ=args.c, pen_clip5=args.L,
-        pen_clip3=args.L, pen_unpaired=args.U, T=args.T,
+        a=a_,
+        b=args.B if args.B is not None else 4,
+        o_del=args.O if args.O is not None else 6,
+        o_ins=args.O if args.O is not None else 6,
+        e_del=args.E if args.E is not None else 1,
+        e_ins=args.E if args.E is not None else 1,
+        w=args.w, zdrop=args.d if args.d is not None else 100,
+        min_seed_len=args.k,
+        split_factor=args.r, max_occ=args.c,
+        pen_clip5=args.L if args.L is not None else 5,
+        pen_clip3=args.L if args.L is not None else 5,
+        pen_unpaired=args.U if args.U is not None else 17,
+        T=args.T if args.T is not None else 30,
         split_width=args.split_width, drop_ratio=args.drop_ratio,
         min_chain_weight=args.min_chain_weight, max_matesw=args.max_matesw,
         max_chain_gap=args.max_chain_gap, max_chain_extend=args.max_chain_extend,
         mask_level=args.mask_level, max_mem_intv=args.max_mem_intv,
     )
+    if args.A is not None:
+        # -A rescales every *unset* penalty/threshold (reference:
+        # src/fastmap.cpp:1126-1140 update_a)
+        if args.B is None:
+            opt.b *= opt.a
+        if args.T is None:
+            opt.T *= opt.a
+        if args.O is None:
+            opt.o_del *= opt.a
+            opt.o_ins *= opt.a
+        if args.E is None:
+            opt.e_del *= opt.a
+            opt.e_ins *= opt.a
+        if args.d is None:
+            opt.zdrop *= opt.a
+        if args.L is None:
+            opt.pen_clip5 *= opt.a
+            opt.pen_clip3 *= opt.a
+        if args.U is None:
+            opt.pen_unpaired *= opt.a
+        from bwameme_tpu.utils.config import fill_scmat
+
+        opt.mat = fill_scmat(opt.a, opt.b)
     if args.xa_hits:
         parts = args.xa_hits.split(",")
         opt.max_XA_hits = int(parts[0])

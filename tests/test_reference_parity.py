@@ -16,7 +16,18 @@ Skipped unless BWAMEME_REF_BIN points at the reference binary:
         tests/test_reference_parity.py -v
 
 Verified interactively in round 1: 500 single-end reads and 300 pairs,
-0 diff lines, for both the host oracle engine and the device engine.
+0 diff lines, for both the host oracle engine and the device engine; plus
+an 8-config option fuzz (-Y, default hard-clip, -a, -T, -k, -L, -w, -A/-B)
+— all records identical except under rescaled scoring (-A 2), where the
+difference is a REFERENCE bug, not ours:
+
+    its AVX2 8-bit banded-SW kernel (getScores8) returns score=52/qle=1
+    for a pair whose own scalarBandedSWA and getScores16 return 72/qle=11
+    (verified by linking libbwa.a and driving all three kernels on the
+    extracted pair). This framework follows the scalar ksw_extend2
+    contract — the semantics bwa-mem 0.7.17 defines and the reference
+    documents as its ground truth — so our XS tags differ from the binary
+    exactly where its 8-bit kernel saturates.
 """
 
 import os
