@@ -16,7 +16,10 @@ Skipped unless BWAMEME_REF_BIN points at the reference binary:
         tests/test_reference_parity.py -v
 
 Verified interactively in round 1: 500 single-end reads and 300 pairs,
-0 diff lines, for both the host oracle engine and the device engine; plus
+0 diff lines, for both the host oracle engine and the device engine; the
+same for paired-end via two files AND smart pairing (-p interleaved), for
+the FMI backend (--backend fmi), the ERT backend (--backend ert), and for
+-5 primary selection; plus
 an 8-config option fuzz (-Y, default hard-clip, -a, -T, -k, -L, -w, -A/-B)
 — all records identical except under rescaled scoring (-A 2), where the
 difference is a REFERENCE bug, not ours:
