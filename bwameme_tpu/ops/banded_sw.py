@@ -230,29 +230,36 @@ def _sw_core(q_codes, t_codes, qlen, tlen, h0, ws, mat,
 
 
 def _decode_text(text32: jax.Array, start, ln, reverse: bool, T: int):
-    """(N, T) int32 codes of text[start : start+ln], optionally reversed,
-    decoded from MSB-first 2-bit packed words; positions >= ln yield 0."""
+    """(N, T) int32 codes of text[start : start+ln], optionally reversed;
+    positions >= ln yield 0. HBM traffic is one WORD gather per 16 bases
+    (consecutive words per lane), the per-base extraction then runs on the
+    unpacked in-register matrix — random-gathering every base individually
+    costs ~16x more HBM transactions."""
     N = start.shape[0]
+    Wt = T // 16 + 2
+    s_nn = jnp.maximum(start, 0)
+    wj = jax.lax.broadcasted_iota(jnp.int32, (N, Wt), 1)
+    words = jnp.take(text32, (s_nn >> 4)[:, None] + wj, mode="clip")
+    sh = (jnp.uint32(15) - jnp.arange(16, dtype=jnp.uint32)) * jnp.uint32(2)
+    bases = ((words[:, :, None] >> sh[None, None, :]) & jnp.uint32(3))
+    flat = bases.astype(jnp.int8).reshape(N, Wt * 16)
     jj = jax.lax.broadcasted_iota(jnp.int32, (N, T), 1)
-    pos = (start[:, None] + (ln[:, None] - 1 - jj)) if reverse else (
-        start[:, None] + jj)
-    posc = jnp.maximum(pos, 0)
-    w = jnp.take(text32, posc >> 4, mode="clip")
-    sh = (jnp.uint32(15) - (posc.astype(jnp.uint32) & jnp.uint32(15))) * 2
-    code = (w >> sh) & jnp.uint32(3)
-    return jnp.where(jj < ln[:, None], code.astype(jnp.int32), 0)
+    rel = (ln[:, None] - 1 - jj) if reverse else jj
+    idx = jnp.clip((s_nn & 15)[:, None] + rel, 0, Wt * 16 - 1)
+    out = jnp.take_along_axis(flat, idx, axis=1)
+    return jnp.where(jj < ln[:, None], out.astype(jnp.int32), 0)
 
 
 def _gather_query(codes: jax.Array, row, start, ln, reverse: bool, Q: int):
-    """(N, Q) int32 query codes from the (R, L) batch code matrix."""
+    """(N, Q) int32 query codes from the (R, L) batch code matrix: one ROW
+    gather per lane (contiguous), then in-row indexing."""
     R, L = codes.shape
-    flat = codes.reshape(-1)
     N = row.shape[0]
+    rows = jnp.take(codes, jnp.clip(row, 0, R - 1), axis=0)  # (N, L)
     jj = jax.lax.broadcasted_iota(jnp.int32, (N, Q), 1)
-    pos = (start[:, None] + (ln[:, None] - 1 - jj)) if reverse else (
-        start[:, None] + jj)
-    posc = jnp.clip(pos, 0, L - 1)
-    q = jnp.take(flat, row[:, None] * L + posc, mode="clip")
+    rel = (ln[:, None] - 1 - jj) if reverse else jj
+    idx = jnp.clip(start[:, None] + rel, 0, L - 1)
+    q = jnp.take_along_axis(rows, idx, axis=1)
     return jnp.where(jj < ln[:, None], q.astype(jnp.int32), 0)
 
 

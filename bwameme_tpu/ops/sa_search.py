@@ -45,10 +45,14 @@ class DeviceIndex:
 
     text32: jax.Array      # uint32[Wt] packed text (+ guard words of T)
     sa: jax.Array          # int32[N]
-    key_hi: jax.Array      # uint32[N]
-    key_lo: jax.Array      # uint32[N]
-    key2: jax.Array        # uint32[N,2] both key planes, row-fused so one
-    #                        8-byte gather serves a suffix-key probe
+    key2: jax.Array | None  # uint32[N,2] rank-indexed key planes, row-fused
+    #                         (only needed without ktext: the deep-compare
+    #                         fallback's first segment)
+    ktext: jax.Array | None  # uint32[N,2] TEXT-POSITION-indexed keys:
+    #                          ktext[p] = 32-base key of the suffix starting
+    #                          at p (== key2[isa[p]]). Collapses every deep
+    #                          compare segment to ONE independent 8-byte
+    #                          gather — no ISA hop, no rank chain.
     leaf_start: jax.Array  # int32[L+1]
     alpha: jax.Array       # float32[L]
     beta: jax.Array        # float32[L]
@@ -69,13 +73,21 @@ class DeviceIndex:
 
             kmer_bits = ert_bits if ert_bits > 0 else pick_ert_bits(idx.n_sa)
             kmer_table = jnp.asarray(build_kmer_table(idx.key_hi, kmer_bits))
+        if idx.isa is not None:
+            kt = np.empty((len(idx.sa), 2), np.uint32)
+            kt[:, 0] = idx.key_hi[idx.isa]
+            kt[:, 1] = idx.key_lo[idx.isa]
+            ktext = jnp.asarray(kt)
+            key2 = None
+        else:
+            ktext = None
+            key2 = jnp.asarray(
+                np.stack([idx.key_hi, idx.key_lo], axis=1), dtype=jnp.uint32)
         return DeviceIndex(
             text32=jnp.asarray(idx.text32, dtype=jnp.uint32),
             sa=jnp.asarray(idx.sa, dtype=jnp.int32),
-            key_hi=jnp.asarray(idx.key_hi, dtype=jnp.uint32),
-            key_lo=jnp.asarray(idx.key_lo, dtype=jnp.uint32),
-            key2=jnp.asarray(
-                np.stack([idx.key_hi, idx.key_lo], axis=1), dtype=jnp.uint32),
+            key2=key2,
+            ktext=ktext,
             leaf_start=jnp.asarray(idx.rmi_leaf_start, dtype=jnp.int32),
             alpha=jnp.asarray(idx.rmi_alpha),
             beta=jnp.asarray(idx.rmi_beta),
@@ -83,13 +95,14 @@ class DeviceIndex:
             err_hi=jnp.asarray(idx.rmi_err_hi, dtype=jnp.int32),
             bits=int(idx.rmi_bits),
             n_sa=int(idx.n_sa),
-            isa=jnp.asarray(idx.isa, dtype=jnp.int32) if idx.isa is not None else None,
+            isa=None,  # kernels chain through ktext; the ISA itself never
+            #            needs to be HBM-resident on a single chip
             kmer_table=kmer_table,
             kmer_bits=kmer_bits,
         )
 
 def _di_flatten(di):
-    children = (di.text32, di.sa, di.key_hi, di.key_lo, di.key2,
+    children = (di.text32, di.sa, di.key2, di.ktext,
                 di.leaf_start, di.alpha, di.beta, di.err_lo, di.err_hi,
                 di.isa, di.kmer_table)
     return children, (di.bits, di.n_sa, di.kmer_bits)
@@ -97,10 +110,10 @@ def _di_flatten(di):
 
 def _di_unflatten(aux, children):
     bits, n_sa, kmer_bits = aux
-    (text32, sa, key_hi, key_lo, key2, leaf_start, alpha, beta, err_lo,
+    (text32, sa, key2, ktext, leaf_start, alpha, beta, err_lo,
      err_hi, isa, kmer_table) = children
-    return DeviceIndex(text32=text32, sa=sa, key_hi=key_hi, key_lo=key_lo,
-                       key2=key2, leaf_start=leaf_start, alpha=alpha,
+    return DeviceIndex(text32=text32, sa=sa, key2=key2, ktext=ktext,
+                       leaf_start=leaf_start, alpha=alpha,
                        beta=beta, err_lo=err_lo, err_hi=err_hi, bits=bits,
                        n_sa=n_sa, isa=isa, kmer_table=kmer_table,
                        kmer_bits=kmer_bits)
@@ -237,7 +250,7 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
     bits = di.bits
     n_sa = di.n_sa
     kmer_bits = di.kmer_bits
-    has_isa = di.isa is not None
+    has_ktext = di.ktext is not None
     shift = jnp.uint32(32 - bits)
     rel_mask = jnp.uint32((1 << (32 - bits)) - 1) if bits < 32 else jnp.uint32(0)
     n_segs = max(1, -(-(max_read_words * 16) // 32))
@@ -311,26 +324,27 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             return less, lcp
 
         def _key2_at(rank):
-            """(key_hi, key_lo) of a suffix rank in ONE 8-byte gather."""
+            """(key_hi, key_lo) of a suffix rank in ONE 8-byte gather
+            (deep-fallback path only — flat compares use ktext)."""
             g = jnp.take(d.key2, jnp.clip(rank, 0, n_sa - 1), axis=0,
                          mode="clip")
             return g[..., 0], g[..., 1]
 
-        def _seg_key(sa_pos, k):
-            """32-base key of the suffix continuation at text position
-            sa_pos + 32k, via the ISA (all-T beyond the kept range)."""
-            pos = sa_pos + 32 * k
+        def _ktext_at(pos):
+            """32-base key of the suffix starting at text position pos in
+            ONE 8-byte gather (all-T beyond the kept range)."""
             in_range = pos < n_sa
-            rank2 = jnp.take(d.isa, jnp.clip(pos, 0, n_sa - 1), mode="clip")
-            skhi, sklo = _key2_at(rank2)
-            skhi = jnp.where(in_range, skhi, FULL)
-            sklo = jnp.where(in_range, sklo, FULL)
+            g = jnp.take(d.ktext, jnp.clip(pos, 0, n_sa - 1), axis=0,
+                         mode="clip")
+            skhi = jnp.where(in_range, g[..., 0], FULL)
+            sklo = jnp.where(in_range, g[..., 1], FULL)
             return skhi, sklo
 
         def suffix_cmp_flat(qbuf32, row, pivot, v, sa_idx):
             """(less, lcp) of suffix sa[sa_idx] vs pattern — no loops:
-            statically unrolled 32-base segments, continuation keys gathered
-            through the ISA."""
+            statically unrolled 32-base segments, every segment's key ONE
+            independent text-position gather from ktext (chain depth 2:
+            sa -> ktext)."""
             idx = jnp.clip(sa_idx, 0, n_sa - 1)
             sa_pos = jnp.take(d.sa, idx, mode="clip")
             less = jnp.zeros(jnp.shape(idx), jnp.bool_)
@@ -339,10 +353,7 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             for k in range(n_segs):
                 off = 32 * k
                 khi, klo = extract_pattern_words(qbuf32, row, pivot + off)
-                if k == 0:
-                    skhi, sklo = _key2_at(idx)
-                else:
-                    skhi, sklo = _seg_key(sa_pos, k)
+                skhi, sklo = _ktext_at(sa_pos + off)
                 x_hi = khi ^ skhi
                 x_lo = klo ^ sklo
                 lcp32 = jnp.where(x_hi != 0, _lcp_bases32(x_hi),
@@ -385,7 +396,7 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
                              jnp.where(sa_idx >= n_sa, False, less))
             return less, lcp
 
-        suffix_cmp = suffix_cmp_flat if has_isa else suffix_cmp_deep
+        suffix_cmp = suffix_cmp_flat if has_ktext else suffix_cmp_deep
 
         def lower_bound(qbuf32, row, pivot, v, wlo, whi, strict_greater=False):
             """First index in [wlo, whi] where suffix >= pattern[:v]
