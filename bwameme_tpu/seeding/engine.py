@@ -52,6 +52,10 @@ class DeviceSeedingEngine:
         # (shrinking active sets run with inert lanes; gathers are cheap)
         self.lanes = lanes
         self._tr = self._build_third_round()
+        self._prep_dev = self._build_prepare_device()
+        # straggler compaction: full-width iterations before the unfinished
+        # lanes are compacted to R//4 width (see _build_fused_step1)
+        self.step1_cap1 = 30
         self._fused_step1 = self._build_fused_step1()
         self._fused_step2 = self._build_fused_step2b()
         self._fused_step3 = self._build_fused_step3()
@@ -128,6 +132,56 @@ class DeviceSeedingEngine:
             return jitted(tuple(flat), cap=cap)
 
         return run
+
+    # ---------------------------------------------------- device-side prep
+    def _build_prepare_device(self):
+        """Batch preparation as a device program: the host ships ONLY the
+        (R, L) uint8 code matrix + lengths; strand packing, the 2-bit query
+        buffer, and the next-N / next-valid tables are computed on device.
+        Over a thin host<->device link the table upload would cost more than
+        the compute (reference analog: the read encoding loop in
+        mem_kernel1_core, src/bwamem.cpp:1264-1344)."""
+
+        def prep(mat, lens):
+            R, L = mat.shape
+            W = (L + 15) // 16 + 3
+            cols = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+            lensc = lens[:, None]
+            valid = cols < lensc
+            m = jnp.where(valid, mat.astype(jnp.int32), 3)
+            # RC rows: reverse within each row's own length
+            ridx = jnp.clip(lensc - 1 - cols, 0, L - 1)
+            rj = jnp.take_along_axis(m, ridx, axis=1)
+            rc = jnp.where((rj < 4) & valid, 3 - rj, jnp.where(valid, rj, 3))
+            # 2-bit pack both strands (N packs as 0; masked via the tables)
+            both = jnp.concatenate([m, rc])                  # (2R, L)
+            safe = jnp.where(both >= 4, 0, both).astype(jnp.uint32)
+            pad = (-L) % 16
+            if pad:
+                safe = jnp.concatenate(
+                    [safe, jnp.full((2 * R, pad), 3, jnp.uint32)], axis=1)
+            w16 = safe.reshape(2 * R, -1, 16)
+            sh = (jnp.uint32(15) - jnp.arange(16, dtype=jnp.uint32)) * 2
+            words = (w16 << sh[None, None, :]).sum(axis=2, dtype=jnp.uint32)
+            qbuf = jnp.full((2 * R, W), jnp.uint32(0xFFFFFFFF))
+            qbuf = qbuf.at[:, : words.shape[1]].set(words)
+            # next-N / next-valid tables via reversed cummin
+            big = jnp.int32(1 << 30)
+
+            def suffix_min(marker):
+                x = jnp.where(marker, cols, big)
+                sm = jnp.flip(jax.lax.cummin(jnp.flip(x, axis=1), axis=1),
+                              axis=1)
+                sm = jnp.concatenate([sm, jnp.full((R, 1), big)], axis=1)
+                return jnp.minimum(sm, lensc)
+
+            nf = suffix_min(valid & (m >= 4))
+            nr = suffix_min(valid & (rc >= 4))
+            nvf = suffix_min(valid & (m < 4))
+            return qbuf, nf.astype(jnp.int32), nr.astype(jnp.int32), \
+                nvf.astype(jnp.int32)
+
+        return jax.jit(prep)
 
     # ------------------------------------------------------------- packing
     @staticmethod
@@ -296,8 +350,13 @@ class DeviceSeedingEngine:
         opt = self.opt
         M = self.max_smems
         M2 = 16
-        qbuf, next_f, next_r = self._prepare(codes_list)
-        nf, nr, nvf, lens = self._prepare_fused(codes_list)
+        mat, _rcm, lens_np, maxlen = self._batch_matrix(codes_list)
+        if maxlen > self.max_read_len:
+            raise ValueError(
+                f"read length {maxlen} exceeds this engine's max_read_len="
+                f"{self.max_read_len}")
+        lens = jnp.asarray(lens_np.astype(np.int32))
+        qbuf, nf, nr, nvf = self._prep_dev(jnp.asarray(mat), lens)
         d1 = self._fused_step1(
             self.di, qbuf, nf, nr, nvf, lens, jnp.int32(opt.min_seed_len), M=M
         )
@@ -323,7 +382,7 @@ class DeviceSeedingEngine:
             pairs = [d1, d2] + ([d3] if d3 is not None else [])
             cap = len(codes_list) * self.pack_cap_per_read
             packed = self._pack(pairs, cap)
-        return (codes_list, qbuf, next_f, next_r, d1, d2, d3, packed)
+        return (codes_list, qbuf, None, None, d1, d2, d3, packed)
 
     def finish_batch_flat(self, token):
         """Materialize a submit_batch token into the flat SMEM struct
@@ -354,6 +413,10 @@ class DeviceSeedingEngine:
         codes_list, qbuf, next_f, next_r, d1, d2, d3 = token[:7]
         opt = self.opt
         R = len(codes_list)
+        if next_f is None and (d2 is None or
+                               (opt.max_mem_intv > 0 and d3 is None)):
+            # fallback waves need the host-side next-N tables
+            _, next_f, next_r = self._prepare(codes_list)
 
         def unpack(d, smems, append):
             slots, nsm = np.asarray(d[0]), np.asarray(d[1])
@@ -716,57 +779,117 @@ class DeviceSeedingEngine:
 
     # ------------------------------------------------- fused device kernels
     def _build_fused_step1(self):
-        """The whole step-1 zigzag sweep for a read batch as ONE device
-        program: per-lane state machine (RIGHT0/LEFT/RIGHT_Z phases, N skips
-        in closed form from next-N/next-valid tables) iterated by a single
-        lax.while_loop around the sa_query body. Replaces ~2x(#SMEMs) host
-        round-trips per batch with one dispatch."""
+        """The whole step-1 zigzag sweep for a read batch as device
+        programs: per-lane state machine (RIGHT0/LEFT/RIGHT_Z phases, N
+        skips in closed form from next-N/next-valid tables) iterated by a
+        lax.while_loop around the sa_query body.
+
+        Straggler compaction: per-read transition counts are skewed (mean
+        ~27, max ~70 on mutated 151bp reads), and every while iteration
+        pays the full lane width. The sweep therefore runs as THREE chained
+        dispatches: (1) full width capped at `cap1` iterations, (2) a
+        continuation that compacts the unfinished lanes to width R//4 on
+        device (stable argsort of the done flags) and loops them to
+        completion, (3) a full-width safety net for the rare case where
+        more than R//4 lanes were still alive (usually zero iterations).
+        All three are enqueued back-to-back without host syncs."""
         raw = self.fns["raw"]
 
-        def fused(di, qbuf, nf, nr, nvf, lens, minseed, M):
+        def machinery(di, qbuf, nf, nr, nvf, lens_full, minseed, R, Lp):
             fns = raw(di)
-            nf = nf.astype(jnp.int32)
-            nr = nr.astype(jnp.int32)
-            nvf = nvf.astype(jnp.int32)
-            R, Lp = nf.shape
-            lane = jnp.arange(R, dtype=jnp.int32)
             nf_f = nf.reshape(-1)
             nr_f = nr.reshape(-1)
             nvf_f = nvf.reshape(-1)
 
-            def tab(tf, pos):
-                return jnp.take(tf, lane * Lp + jnp.clip(pos, 0, Lp - 1),
+            def tab(tf, lanes, pos):
+                return jnp.take(tf, lanes * Lp + jnp.clip(pos, 0, Lp - 1),
                                 mode="clip")
 
-            def is_n_f(pos):
-                return tab(nf_f, pos) == pos
-
-            def skip_ns(pivot):
-                """Closed form of the outer/inner N-skip loop: returns
-                (done, new_pivot)."""
-                l = lens
-                q = tab(nvf_f, pivot)
-                thresh = l - minseed + 1
+            def skip_ns(lanes, lens_l, pivot):
+                q = tab(nvf_f, lanes, pivot)
+                thresh = lens_l - minseed + 1
                 done_n = (q > pivot) & (q - 1 >= thresh)
-                done = (pivot >= l) | done_n | (q >= l)
+                done = (pivot >= lens_l) | done_n | (q >= lens_l)
                 return done, q
 
-            def enter_outer(pivot):
-                done, q = skip_ns(pivot)
-                prev_valid = (q != 0) & (~is_n_f(q - 1))
+            def enter_outer(lanes, lens_l, pivot):
+                done, q = skip_ns(lanes, lens_l, pivot)
+                prev_valid = (q != 0) & (tab(nf_f, lanes, q - 1) != q - 1)
                 phase = jnp.where(
                     done, DONE, jnp.where(prev_valid, LEFT, RIGHT0)
                 ).astype(jnp.int32)
                 return phase, q, q
 
-            def zigzag_continue(pnew):
-                done, q = skip_ns(pnew)
-                phase = jnp.where(done, DONE, LEFT).astype(jnp.int32)
-                return phase, q, q
+            def body(lanes, lens_l, st):
+                phase, p, spb = st["phase"], st["p"], st["spb"]
+                active = phase != DONE
+                is_left = phase == LEFT
+                l = lens_l
+                lp = l - 1 - p
+                row = jnp.where(is_left, R + lanes, lanes)
+                v_raw = jnp.where(is_left, tab(nr_f, lanes, lp) - lp,
+                                  tab(nf_f, lanes, p) - p)
+                piv_q = jnp.where(is_left, lp, p)
+                v = jnp.where(active, v_raw, 0).astype(jnp.int32)
+                mlen, lb, cnt = fns["sa_query_min1"](qbuf, row, piv_q, v)
+                is_r = active & ((phase == RIGHT_Z) | (phase == RIGHT0))
+                emit = is_r & (mlen >= minseed)
+                nsm = st["nsm"]
+                slot = jnp.where(emit & (nsm < st["M"]), nsm, st["M"])
+                starts = st["starts"].at[lanes, slot].set(p.astype(jnp.int32))
+                ends = st["ends"].at[lanes, slot].set(
+                    (p + mlen).astype(jnp.int32))
+                lbs = st["lbs"].at[lanes, slot].set(lb.astype(jnp.int32))
+                cnts = st["cnts"].at[lanes, slot].set(cnt.astype(jnp.int32))
+                nsm = nsm + (emit & (nsm < st["M"]))
 
-            phase0, p0, spb0 = enter_outer(jnp.zeros(R, jnp.int32))
+                p2 = p - mlen + 1
+                phL = jnp.where(l - p2 < minseed, DONE,
+                                RIGHT_Z).astype(jnp.int32)
+                sp = p + mlen
+                sp = jnp.where(sp <= spb, spb + 1, sp)
+                doneZ, qZ = skip_ns(lanes, lens_l, sp)
+                phZ = jnp.where(doneZ, DONE, LEFT).astype(jnp.int32)
+                piv2 = p + jnp.maximum(mlen, 1)
+                ph0, p0_, spb0_ = enter_outer(lanes, lens_l, piv2)
+
+                new_phase = jnp.where(
+                    is_left, phL,
+                    jnp.where(phase == RIGHT_Z, phZ,
+                              jnp.where(phase == RIGHT0, ph0, DONE)),
+                )
+                new_p = jnp.where(
+                    is_left, p2,
+                    jnp.where(phase == RIGHT_Z, qZ,
+                              jnp.where(phase == RIGHT0, p0_, p)),
+                )
+                new_spb = jnp.where(
+                    phase == RIGHT_Z, qZ,
+                    jnp.where(phase == RIGHT0, spb0_, spb),
+                )
+                return dict(
+                    M=st["M"], it=st["it"] + 1,
+                    phase=jnp.where(active, new_phase, phase),
+                    p=jnp.where(active, new_p, p),
+                    spb=jnp.where(active, new_spb, spb),
+                    nsm=nsm, starts=starts, ends=ends, lbs=lbs, cnts=cnts,
+                )
+
+            return enter_outer, body
+
+        def begin(di, qbuf, nf, nr, nvf, lens, minseed, M, cap1):
+            nf = nf.astype(jnp.int32)
+            nr = nr.astype(jnp.int32)
+            nvf = nvf.astype(jnp.int32)
+            R, Lp = nf.shape
+            enter_outer, body = machinery(di, qbuf, nf, nr, nvf, lens,
+                                          minseed, R, Lp)
+            lanes = jnp.arange(R, dtype=jnp.int32)
+            phase0, p0, spb0 = enter_outer(lanes, lens,
+                                           jnp.zeros(R, jnp.int32))
             phase0 = jnp.where(lens < minseed, DONE, phase0)
             st0 = dict(
+                M=jnp.int32(M), it=jnp.int32(0),
                 phase=phase0, p=p0, spb=spb0,
                 nsm=jnp.zeros(R, jnp.int32),
                 starts=jnp.zeros((R, M + 1), jnp.int32),
@@ -776,68 +899,72 @@ class DeviceSeedingEngine:
             )
 
             def cond(st):
+                return jnp.any(st["phase"] != DONE) & (st["it"] < cap1)
+
+            st = jax.lax.while_loop(
+                cond, lambda st: body(lanes, lens, st), st0)
+            return (st["phase"], st["p"], st["spb"], st["nsm"],
+                    jnp.stack([st["starts"], st["ends"], st["lbs"],
+                               st["cnts"]]))
+
+        def continue_at(di, qbuf, nf, nr, nvf, lens, minseed,
+                        phase_f, p_f, spb_f, nsm_f, slots, Rc):
+            """Compact the unfinished lanes to width Rc and run them to
+            completion; Rc=0 means full width (the safety net)."""
+            nf = nf.astype(jnp.int32)
+            nr = nr.astype(jnp.int32)
+            nvf = nvf.astype(jnp.int32)
+            R, Lp = nf.shape
+            enter_outer, body = machinery(di, qbuf, nf, nr, nvf, lens,
+                                          minseed, R, Lp)
+            if Rc:
+                order = jnp.argsort((phase_f == DONE).astype(jnp.int32),
+                                    stable=True)
+                lanes = order[:Rc].astype(jnp.int32)
+            else:
+                lanes = jnp.arange(R, dtype=jnp.int32)
+            lens_l = jnp.take(lens, lanes)
+            st0 = dict(
+                M=jnp.int32(slots.shape[2] - 1), it=jnp.int32(0),
+                phase=jnp.take(phase_f, lanes),
+                p=jnp.take(p_f, lanes),
+                spb=jnp.take(spb_f, lanes),
+                nsm=jnp.take(nsm_f, lanes),
+                starts=slots[0], ends=slots[1], lbs=slots[2], cnts=slots[3],
+            )
+
+            def cond(st):
                 return jnp.any(st["phase"] != DONE)
 
-            def body(st):
-                phase, p, spb = st["phase"], st["p"], st["spb"]
-                active = phase != DONE
-                is_left = phase == LEFT
-                l = lens
-                lp = l - 1 - p
-                row = jnp.where(is_left, R + lane, lane)
-                v_raw = jnp.where(is_left, tab(nr_f, lp) - lp, tab(nf_f, p) - p)
-                piv_q = jnp.where(is_left, lp, p)
-                v = jnp.where(active, v_raw, 0).astype(jnp.int32)
-                mlen, lb, cnt = fns["sa_query_min1"](qbuf, row, piv_q, v)
-                # emissions (RIGHT phases only)
-                is_r = active & ((phase == RIGHT_Z) | (phase == RIGHT0))
-                emit = is_r & (mlen >= minseed)
-                slot = jnp.where(emit & (st["nsm"] < M), st["nsm"], M)
-                starts = st["starts"].at[lane, slot].set(p.astype(jnp.int32))
-                ends = st["ends"].at[lane, slot].set((p + mlen).astype(jnp.int32))
-                lbs = st["lbs"].at[lane, slot].set(lb.astype(jnp.int32))
-                cnts = st["cnts"].at[lane, slot].set(cnt.astype(jnp.int32))
-                nsm = st["nsm"] + (emit & (st["nsm"] < M))
+            def b(st):
+                # per-lane nsm rides the loop; full slot planes are shared
+                full = dict(st)
+                out = body(lanes, lens_l, full)
+                return out
 
-                # transitions
-                # LEFT -> RIGHT_Z (or done when remaining window too short)
-                p2 = p - mlen + 1
-                phL = jnp.where(l - p2 < minseed, DONE, RIGHT_Z).astype(jnp.int32)
-                # RIGHT_Z -> zigzag continue (with progress guard)
-                sp = p + mlen
-                sp = jnp.where(sp <= spb, spb + 1, sp)
-                phZ, pZ, spbZ = zigzag_continue(sp)
-                # RIGHT0 -> outer re-entry
-                piv2 = p + jnp.maximum(mlen, 1)
-                ph0, p0_, spb0_ = enter_outer(piv2)
+            st = jax.lax.while_loop(cond, b, st0)
+            phase_f = phase_f.at[lanes].set(st["phase"])
+            p_f = p_f.at[lanes].set(st["p"])
+            spb_f = spb_f.at[lanes].set(st["spb"])
+            nsm_f = nsm_f.at[lanes].set(st["nsm"])
+            return (phase_f, p_f, spb_f, nsm_f,
+                    jnp.stack([st["starts"], st["ends"], st["lbs"],
+                               st["cnts"]]))
 
-                new_phase = jnp.where(
-                    is_left, phL,
-                    jnp.where(phase == RIGHT_Z, phZ,
-                              jnp.where(phase == RIGHT0, ph0, DONE)),
-                )
-                new_p = jnp.where(
-                    is_left, p2,
-                    jnp.where(phase == RIGHT_Z, pZ,
-                              jnp.where(phase == RIGHT0, p0_, p)),
-                )
-                new_spb = jnp.where(
-                    phase == RIGHT_Z, spbZ,
-                    jnp.where(phase == RIGHT0, spb0_, spb),
-                )
-                keep = active
-                return dict(
-                    phase=jnp.where(keep, new_phase, phase),
-                    p=jnp.where(keep, new_p, p),
-                    spb=jnp.where(keep, new_spb, spb),
-                    nsm=nsm, starts=starts, ends=ends, lbs=lbs, cnts=cnts,
-                )
+        jb = jax.jit(begin, static_argnames=("M", "cap1"))
+        jc = jax.jit(continue_at, static_argnames=("Rc",))
 
-            st = jax.lax.while_loop(cond, body, st0)
-            return (jnp.stack([st["starts"], st["ends"], st["lbs"],
-                               st["cnts"]]), st["nsm"])
+        def fused(di, qbuf, nf, nr, nvf, lens, minseed, M):
+            cap1 = int(getattr(self, "step1_cap1", 30))
+            st = jb(di, qbuf, nf, nr, nvf, lens, minseed, M=M, cap1=cap1)
+            R = nf.shape[0]
+            Rc = max(64, R // 4)
+            if Rc < R:
+                st = jc(di, qbuf, nf, nr, nvf, lens, minseed, *st, Rc=Rc)
+            st = jc(di, qbuf, nf, nr, nvf, lens, minseed, *st, Rc=0)
+            return st[4], st[3]
 
-        return jax.jit(fused, static_argnames=("M",))
+        return fused
 
     def _build_fused_step3(self):
         """Fused third round: per-read pivot sweep (closed-form skips) around
