@@ -374,11 +374,14 @@ def fused_extend_finish(token) -> list[list[AlnReg]]:
     """Blocking half of extend_chains_batch_fused: transfers the device
     results, folds them into the alnregs, and runs the contained-seed
     purge."""
+    from bwameme_tpu.ops.banded_sw import EXT_RESULT_ORDER
+
     (opt, queries, chains_per_read, regs_per_read, srt_per_chain,
      flat_regs, flat_lq, h0seed, ljobs, rjobs, left, right) = token
     if left is not None:
-        left = {k: np.asarray(v) for k, v in left.items()}
-        right = {k: np.asarray(v) for k, v in right.items()}
+        la, ra = np.asarray(left), np.asarray(right)
+        left = {k: la[i] for i, k in enumerate(EXT_RESULT_ORDER)}
+        right = {k: ra[i] for i, k in enumerate(EXT_RESULT_ORDER)}
 
         # ---- fold left results (reference: src/bwamem.cpp:3040-3160) ----
         for i, (g, _row, _ql, _tst, _tln) in enumerate(ljobs):
@@ -523,10 +526,13 @@ def extend_flat_finish(token) -> list[list[AlnReg]]:
     (chain_off, _pos, chain_rid, chain_is_alt, _w, _kept, _frep,
      seed_off, seed_rbeg, seed_qbeg, seed_len, _n) = chain_raw
     R = len(queries)
+    from bwameme_tpu.ops.banded_sw import EXT_RESULT_ORDER
+
     G = prep["n_regs"]
     if G:
-        left = {k: np.asarray(v) for k, v in left.items()}
-        right = {k: np.asarray(v) for k, v in right.items()}
+        la, ra = np.asarray(left), np.asarray(right)
+        left = {k: la[i] for i, k in enumerate(EXT_RESULT_ORDER)}
+        right = {k: ra[i] for i, k in enumerate(EXT_RESULT_ORDER)}
         # per-read reg offsets: reg_read ascends by construction
         read_reg_off = np.searchsorted(
             prep["reg_read"][:G], np.arange(R + 1)).astype(np.int32)

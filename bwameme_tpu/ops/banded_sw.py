@@ -328,7 +328,14 @@ def fused_extend_coord(
     h0r = jnp.take(score_reg, r_reg, mode="clip")
     right = run_side(r_reg, rq, rt, r_qlen, r_tlen, h0r, pen_clip3, h0r)
 
-    return left, right
+    # ONE stacked array per side: each np.asarray on the host costs a
+    # link round-trip, so 14 small transfers would dominate the wall time
+    return (jnp.stack([left[k] for k in EXT_RESULT_ORDER]),
+            jnp.stack([right[k] for k in EXT_RESULT_ORDER]))
+
+
+EXT_RESULT_ORDER = ("score", "qle", "tle", "gtle", "gscore", "max_off",
+                    "w_used")
 
 
 def extend_pairs_np(pairs, mat, o_del, e_del, o_ins, e_ins, end_bonus, zdrop,
