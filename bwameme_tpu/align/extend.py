@@ -451,13 +451,15 @@ MEM_SEEDSW_COEF_ = 0.05
 def extend_flat_submit(opt, bns, queries, chain_raw, text32):
     """Fully-native fast path of the fused extension: alnreg table and
     coordinate jobs built by C++ (extend_prepare_c) straight from the flat
-    chain arrays — no per-seed Python. Returns a token for
-    extend_flat_finish, or None when native/preconditions are unavailable
-    (callers use fused_extend_submit on dataclass chains)."""
+    chain arrays — no per-seed Python — then ONE single-round device
+    dispatch (band retries are redispatched from extend_flat_finish's
+    ladder only when the retry predicate actually fires). Returns a token
+    for extend_flat_finish, or None when native/preconditions are
+    unavailable (callers use fused_extend_submit on dataclass chains)."""
     import jax.numpy as jnp
 
     from bwameme_tpu.align import native
-    from bwameme_tpu.ops.banded_sw import fused_extend_coord
+    from bwameme_tpu.ops.banded_sw import fused_extend_round
 
     if not native.available() or chain_raw is None:
         return None
@@ -473,7 +475,7 @@ def extend_flat_submit(opt, bns, queries, chain_raw, text32):
     if prep is None:
         return None
     G = prep["n_regs"]
-    left = right = None
+    left = right = aux = None
     if G:
         Lmax = max(len(q) for q in queries)
         codes = np.zeros((R, Lmax), dtype=np.uint8)
@@ -484,12 +486,6 @@ def extend_flat_submit(opt, bns, queries, chain_raw, text32):
         NLp = _bucket(max(NL, 1), lane_ladder)
         NRp = _bucket(max(NR, 1), lane_ladder)
         Gp = _bucket(G, lane_ladder)
-
-        def pad32(a, n, cap, fill=0):
-            out = np.full(cap, fill, np.int32)
-            out[:n] = a[:n]
-            return jnp.asarray(out)
-
         h0s = np.zeros(Gp, np.int32)
         h0s[:G] = prep["reg_h0seed"][:G]
         Q = int(max(prep["l_qlen"][:NL].max(initial=1),
@@ -499,46 +495,134 @@ def extend_flat_submit(opt, bns, queries, chain_raw, text32):
                      (128, 256, 384, 512, 1024, 2048))
         TR = _bucket(int(prep["r_tlen"][:NR].max(initial=1)),
                      (128, 256, 384, 512, 1024, 2048))
-        left, right = fused_extend_coord(
-            text32, jnp.asarray(codes), jnp.asarray(opt.mat.astype(np.int32)),
-            jnp.asarray(h0s),
-            pad32(prep["l_reg"], NL, NLp, Gp), pad32(prep["l_row"], NL, NLp),
-            pad32(prep["l_qlen"], NL, NLp),
-            pad32(prep["l_tstart"].astype(np.int32), NL, NLp),
-            pad32(prep["l_tlen"], NL, NLp),
-            pad32(prep["r_reg"], NR, NRp, Gp), pad32(prep["r_row"], NR, NRp),
-            pad32(prep["r_qstart"], NR, NRp), pad32(prep["r_qlen"], NR, NRp),
-            pad32(prep["r_tstart"].astype(np.int32), NR, NRp),
-            pad32(prep["r_tlen"], NR, NRp),
+        jobs = _pack_jobs(prep, np.arange(NL), np.full(NL, opt.w, np.int32),
+                          np.arange(NR), np.full(NR, opt.w, np.int32),
+                          NLp, NRp, Gp)
+        codes_dev = jnp.asarray(codes)
+        mat_dev = jnp.asarray(opt.mat.astype(np.int32))
+        h0_dev = jnp.asarray(h0s)
+        left, right = fused_extend_round(
+            text32, codes_dev, mat_dev, h0_dev, jnp.asarray(jobs),
             opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-            opt.pen_clip5, opt.pen_clip3, opt.zdrop, opt.w,
-            Q=Q, TL=TL, TR=TR,
+            opt.pen_clip5, opt.pen_clip3, opt.zdrop,
+            NL=NLp, NR=NRp, Q=Q, TL=TL, TR=TR,
         )
-    return (opt, queries, lq, chain_raw, prep, left, right)
+        aux = dict(text32=text32, codes_dev=codes_dev, mat_dev=mat_dev,
+                   Gp=Gp, Q=Q, TL=TL, TR=TR)
+    return (opt, queries, lq, chain_raw, prep, left, right, aux)
+
+
+def _pack_jobs(prep, l_idx, l_ws, r_idx, r_ws, NLp, NRp, Gp):
+    """ONE (13, P) int32 upload carrying both sides' job coordinates
+    (sentinel reg=Gp + zero lengths on pad lanes)."""
+    P = max(NLp, NRp)
+    jobs = np.zeros((13, P), np.int32)
+    jobs[0, :NLp] = Gp
+    jobs[6, :NRp] = Gp
+    nl, nr = len(l_idx), len(r_idx)
+    jobs[0, :nl] = prep["l_reg"][l_idx]
+    jobs[1, :nl] = prep["l_row"][l_idx]
+    jobs[2, :nl] = prep["l_qlen"][l_idx]
+    jobs[3, :nl] = prep["l_tstart"][l_idx].astype(np.int32)
+    jobs[4, :nl] = prep["l_tlen"][l_idx]
+    jobs[5, :nl] = l_ws
+    jobs[6, :nr] = prep["r_reg"][r_idx]
+    jobs[7, :nr] = prep["r_row"][r_idx]
+    jobs[8, :nr] = prep["r_qstart"][r_idx]
+    jobs[9, :nr] = prep["r_qlen"][r_idx]
+    jobs[10, :nr] = prep["r_tstart"][r_idx].astype(np.int32)
+    jobs[11, :nr] = prep["r_tlen"][r_idx]
+    jobs[12, :nr] = r_ws
+    return jobs
+
+
+def _dispatch_retry_round(opt, prep, aux, h0_reg, l_idx, l_ws, r_idx, r_ws):
+    """Run a follow-up extension round for the given job subsets; returns
+    per-subset result dicts."""
+    import jax.numpy as jnp
+
+    from bwameme_tpu.ops.banded_sw import EXT_ROUND_ORDER, fused_extend_round
+
+    small = (64, 256, 1024, 4096, 16384, 32768)
+    NLp = _bucket(max(len(l_idx), 1), small)
+    NRp = _bucket(max(len(r_idx), 1), small)
+    jobs = _pack_jobs(prep, l_idx, l_ws, r_idx, r_ws, NLp, NRp, aux["Gp"])
+    la, ra = fused_extend_round(
+        aux["text32"], aux["codes_dev"], aux["mat_dev"],
+        jnp.asarray(h0_reg), jnp.asarray(jobs),
+        opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+        opt.pen_clip5, opt.pen_clip3, opt.zdrop,
+        NL=NLp, NR=NRp, Q=aux["Q"], TL=aux["TL"], TR=aux["TR"],
+    )
+    la, ra = np.asarray(la), np.asarray(ra)
+    L2 = {k: la[i, : len(l_idx)] for i, k in enumerate(EXT_ROUND_ORDER)}
+    R2 = {k: ra[i, : len(r_idx)] for i, k in enumerate(EXT_ROUND_ORDER)}
+    return L2, R2
 
 
 def extend_flat_finish(token) -> list[list[AlnReg]]:
-    """Blocking half of extend_flat_submit: transfer, native fold +
-    seedcov + purge, then materialize per-read AlnReg lists."""
+    """Blocking half of extend_flat_submit: transfer, the band-retry
+    ladder (reference: src/bwamem.cpp:2968-3022 MAX_BAND_TRY=2 — rerun a
+    side at doubled band iff the score changed AND max_off crossed the
+    band threshold; a rerun left also reruns its dependent right with the
+    new h0), then native fold + seedcov + purge and AlnReg
+    materialization."""
     from bwameme_tpu.align import native
+    from bwameme_tpu.ops.banded_sw import EXT_ROUND_ORDER
 
-    (opt, queries, lq, chain_raw, prep, left, right) = token
+    (opt, queries, lq, chain_raw, prep, left, right, aux) = token
     (chain_off, _pos, chain_rid, chain_is_alt, _w, _kept, _frep,
      seed_off, seed_rbeg, seed_qbeg, seed_len, _n) = chain_raw
     R = len(queries)
-    from bwameme_tpu.ops.banded_sw import EXT_RESULT_ORDER
-
     G = prep["n_regs"]
     if G:
         la, ra = np.asarray(left), np.asarray(right)
-        left = {k: la[i] for i, k in enumerate(EXT_RESULT_ORDER)}
-        right = {k: ra[i] for i, k in enumerate(EXT_RESULT_ORDER)}
-        # per-read reg offsets: reg_read ascends by construction
+        nl, nr = prep["n_left"], prep["n_right"]
+        L = {k: la[i, :nl].copy() for i, k in enumerate(EXT_ROUND_ORDER)}
+        Rt = {k: ra[i, :nr].copy() for i, k in enumerate(EXT_ROUND_ORDER)}
+        w0 = opt.w
+        thr = (w0 >> 1) + (w0 >> 2)
+        # round-1 retry predicate (left prev is -1, so only max_off gates)
+        l_retry = L["max_off"] >= thr
+        r_retry = (Rt["score"] != Rt["h0"]) & (Rt["max_off"] >= thr)
+        if l_retry.any() or r_retry.any():
+            l_idx = np.flatnonzero(l_retry)
+            lr_regs = prep["l_reg"][:nl][l_idx]
+            # rights whose reg's left is being rerun get a fresh h0 run at
+            # w; independently-retried rights rerun at 2w directly
+            rd_mask = np.isin(prep["r_reg"][:nr], lr_regs)
+            r_idx = np.flatnonzero(rd_mask | r_retry)
+            r_ws2 = np.where(rd_mask[r_idx], w0, 2 * w0).astype(np.int32)
+            h0p = np.zeros(aux["Gp"], np.int32)
+            h0p[:G] = prep["reg_h0seed"][:G]
+            keep = np.flatnonzero(~l_retry)
+            h0p[prep["l_reg"][:nl][keep]] = L["score"][keep]
+            L2, R2 = _dispatch_retry_round(
+                opt, prep, aux, h0p, l_idx,
+                np.full(len(l_idx), 2 * w0, np.int32), r_idx, r_ws2)
+            for k in EXT_ROUND_ORDER:
+                L[k][l_idx] = L2[k]
+                Rt[k][r_idx] = R2[k]
+            # a dependent right that ran at w may itself retry once more
+            again = np.zeros(nr, bool)
+            again[r_idx] = ((R2["score"] != R2["h0"])
+                            & (R2["max_off"] >= thr)
+                            & (R2["w_used"] == w0))
+            a_idx = np.flatnonzero(again)
+            if len(a_idx):
+                h0f = h0p.copy()
+                h0f[lr_regs] = L["score"][l_idx]
+                _, R3 = _dispatch_retry_round(
+                    opt, prep, aux, h0f, np.zeros(0, np.intp),
+                    np.zeros(0, np.int32), a_idx,
+                    np.full(len(a_idx), 2 * w0, np.int32))
+                for k in EXT_ROUND_ORDER:
+                    Rt[k][a_idx] = R3[k]
         read_reg_off = np.searchsorted(
             prep["reg_read"][:G], np.arange(R + 1)).astype(np.int32)
         native.extend_finalize_native(
             opt, lq, read_reg_off, prep, chain_off, seed_off, seed_rbeg,
-            seed_qbeg, seed_len, left, right)
+            seed_qbeg, seed_len, L, Rt)
     regs_per_read: list[list[AlnReg]] = [[] for _ in queries]
     alt_of_chain = np.asarray(chain_is_alt) != 0
     cols = [prep[k][:G].tolist() for k in (

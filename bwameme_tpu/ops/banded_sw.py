@@ -337,6 +337,60 @@ def fused_extend_coord(
 EXT_RESULT_ORDER = ("score", "qle", "tle", "gtle", "gscore", "max_off",
                     "w_used")
 
+# single-round kernel result rows (adds the h0 each lane actually used, so
+# the host can evaluate the retry predicate for the right side)
+EXT_ROUND_ORDER = ("score", "qle", "tle", "gtle", "gscore", "max_off",
+                   "w_used", "h0")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("o_del", "e_del", "o_ins", "e_ins", "pen_clip5",
+                     "pen_clip3", "zdrop", "NL", "NR", "Q", "TL", "TR"),
+)
+def fused_extend_round(
+    text32: jax.Array, codes: jax.Array, mat: jax.Array,
+    reg_h0: jax.Array,
+    jobs: jax.Array,  # (13, P) int32: ONE upload for all job coordinates —
+    #                   rows 0-5 = left (reg,row,qlen,tstart,tlen,ws) padded
+    #                   to P, rows 6-12 = right (reg,row,qstart,qlen,tstart,
+    #                   tlen,ws); sliced to the NL/NR lane buckets on device
+    o_del: int, e_del: int, o_ins: int, e_ins: int,
+    pen_clip5: int, pen_clip3: int, zdrop: int,
+    NL: int, NR: int, Q: int, TL: int, TR: int,
+):
+    """ONE extension round per side, per-lane band widths — the
+    non-speculative production kernel. Band retries are so rare (<0.1% of
+    jobs on real reads) that running the doubled-width round speculatively
+    for every lane costs more than redispatching the few retried jobs; the
+    host evaluates the retry predicate from the returned (max_off, h0) and
+    issues a small follow-up round only when needed (the ladder in
+    align/extend.py:extend_flat_finish). Right-side h0 chains from this
+    round's left scores on device, exactly as the reference computes it
+    between its left and right round-1 passes."""
+    codes = codes.astype(jnp.int32)
+    l_reg, l_row, l_qlen, l_tstart, l_tlen, l_ws = (
+        jobs[i, :NL] for i in range(6))
+    r_reg, r_row, r_qstart, r_qlen, r_tstart, r_tlen, r_ws = (
+        jobs[i, :NR] for i in range(6, 13))
+    lq = _gather_query(codes, l_row, jnp.zeros_like(l_qlen), l_qlen, True, Q)
+    lt = _decode_text(text32, l_tstart, l_tlen, True, TL)
+    h0l = jnp.take(reg_h0, l_reg, mode="clip")
+    lres = _sw_core(lq, lt, l_qlen, l_tlen, h0l, l_ws, mat,
+                    o_del, e_del, o_ins, e_ins, pen_clip5, zdrop)
+    score_reg = reg_h0.at[l_reg].set(lres["score"], mode="drop")
+    rq = _gather_query(codes, r_row, r_qstart, r_qlen, False, Q)
+    rt = _decode_text(text32, r_tstart, r_tlen, False, TR)
+    h0r = jnp.take(score_reg, r_reg, mode="clip")
+    rres = _sw_core(rq, rt, r_qlen, r_tlen, h0r, r_ws, mat,
+                    o_del, e_del, o_ins, e_ins, pen_clip3, zdrop)
+
+    def stk(r, ws, h0):
+        return jnp.stack([r["score"], r["qle"], r["tle"], r["gtle"],
+                          r["gscore"], r["max_off"], ws, h0])
+
+    return stk(lres, l_ws, h0l), stk(rres, r_ws, h0r)
+
 
 def extend_pairs_np(pairs, mat, o_del, e_del, o_ins, e_ins, end_bonus, zdrop,
                     q_tile=128, t_tile=256):

@@ -147,3 +147,59 @@ def test_fused_extension_matches_buffer_path():
 
     for a, b in zip(regs_a, regs_b):
         assert sig(a) == sig(b)
+
+
+def test_band_retry_differential():
+    """The MAX_BAND_TRY=2 band-doubling retry must fire and agree across the
+    buffer, fused, and flat-native extension paths (narrow band + deletions
+    straddling the retry threshold (w>>1)+(w>>2))."""
+    import jax.numpy as jnp
+
+    from bwameme_tpu.align import chain as chain_mod
+    from bwameme_tpu.align import extend as extend_mod
+    from bwameme_tpu.index import bntseq
+    from bwameme_tpu.index.build import build_index
+    from bwameme_tpu.seeding.host_engine import HostSeedingEngine
+    from bwameme_tpu.utils.config import MemOptions
+
+    rng = np.random.default_rng(4)
+    n = 30000
+    code = rng.integers(0, 4, n).astype(np.uint8)
+    bns = bntseq.BntSeq(
+        l_pac=n, contigs=[bntseq.Contig("c", "", 0, n, 0)], ambs=[],
+        code=code)
+    idx = build_index(bns, rmi_bits=10)
+    opt = MemOptions(w=20)
+    eng = HostSeedingEngine(idx, opt)
+
+    reads = []
+    for i, d in enumerate([18, 22, 26, 35, 17, 19]):
+        a = 3000 + i * 1200
+        reads.append(np.concatenate(
+            [idx.text[a: a + 100],
+             idx.text[a + 100 + d: a + 100 + d + 33]]).astype(np.uint8))
+    smems_per = [eng.sorted_smems(r) for r in reads]
+    chains = chain_mod.chain_and_filter_batch(opt, idx.bns, reads, smems_per,
+                                              idx.sa)
+    regs_b = extend_mod.extend_chains_batch(opt, idx.bns, idx.text, reads,
+                                            chains)
+    assert any(r.w > opt.w for regs in regs_b for r in regs), \
+        "fixture no longer triggers the band retry"
+    ch2 = chain_mod.chain_and_filter_batch(opt, idx.bns, reads, smems_per,
+                                           idx.sa)
+    regs_f = extend_mod.extend_chains_batch_fused(
+        opt, idx.bns, idx.text, reads, ch2, jnp.asarray(idx.text32))
+    raw = chain_mod.chain_and_filter_raw(opt, idx.bns, reads, smems_per,
+                                         idx.sa)
+    tok = extend_mod.extend_flat_submit(opt, idx.bns, reads, raw,
+                                        jnp.asarray(idx.text32))
+    regs_n = extend_mod.extend_flat_finish(tok)
+
+    def sig(regs):
+        return [(r.rb, r.re, r.qb, r.qe, r.score, r.truesc, r.w, r.seedcov)
+                for r in regs]
+
+    for a, b in zip(regs_b, regs_f):
+        assert sig(a) == sig(b)
+    for a, b in zip(regs_b, regs_n):
+        assert sig(a) == sig(b)
