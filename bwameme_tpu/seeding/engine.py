@@ -56,6 +56,7 @@ class DeviceSeedingEngine:
         # straggler compaction: full-width iterations before the unfinished
         # lanes are compacted to R//4 width (see _build_fused_step1)
         self.step1_cap1 = 30
+        self.step2_cap1 = 16
         self._fused_step1 = self._build_fused_step1()
         self._fused_step2 = self._build_fused_step2b()
         self._fused_step3 = self._build_fused_step3()
@@ -628,32 +629,15 @@ class DeviceSeedingEngine:
         device-resident) output slots: each lane is a read whose cursor scans
         its step-1 SMEM slots for qualifying reseeds (reference filter:
         src/bwamem.cpp:760-778) and runs each job's OnePos machine in place.
-        No host sync between rounds -- steps 1, 2, 3 enqueue back-to-back."""
+        No host sync between rounds -- steps 1, 2, 3 enqueue back-to-back.
+        Straggler-compacted like step 1: capped full-width phase, a R//4
+        continuation over the unfinished lanes, and a full-width safety
+        net."""
         raw = self.fns["raw"]
         CURSOR, RLEN, LEFT2, REMZ, REM, DONE2 = 0, 1, 2, 3, 4, 5
 
-        def fused(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
-                  split_len, split_width, minseed, M1, M2):
-            fns = raw(di)
-            nf = nf.astype(jnp.int32)
-            nr = nr.astype(jnp.int32)
-            R, Lp = nf.shape
-            lane = jnp.arange(R, dtype=jnp.int32)
-            nf_f = nf.reshape(-1)
-            nr_f = nr.reshape(-1)
-
-            def tabf(pos):
-                return jnp.take(nf_f, lane * Lp + jnp.clip(pos, 0, Lp - 1),
-                                mode="clip")
-
-            def tabr(pos):
-                return jnp.take(nr_f, lane * Lp + jnp.clip(pos, 0, Lp - 1),
-                                mode="clip")
-
-            lens = lens_r
-            # ---- per-slot qualification, precomputed (reference filter:
-            # src/bwamem.cpp:760-778), plus a next-qualifying-slot table so
-            # the cursor jumps in one iteration instead of scanning
+        def tables(nf, st1, en1, cn1, nsm1, split_len, split_width, R, Lp,
+                   M1):
             ks = jnp.arange(M1 + 1, dtype=jnp.int32)
             piv_all = (st1 + en1) >> 1
             nf_at = jnp.take_along_axis(
@@ -669,39 +653,36 @@ class DeviceSeedingEngine:
             for kk in range(M1, -1, -1):
                 nxt = jnp.where(qual_all[:, kk], jnp.int32(kk), nxt)
                 cols.append(nxt)
-            nq_f = jnp.stack(cols[::-1], axis=1).reshape(-1)  # (R*(M1+1),)
-            st1f_ = st1.reshape(-1)
-            en1f_ = en1.reshape(-1)
-            cn1f_ = cn1.reshape(-1)
-            pvf_ = pv_all.reshape(-1)
+            nq_f = jnp.stack(cols[::-1], axis=1).reshape(-1)
+            return (nq_f, st1.reshape(-1), en1.reshape(-1), cn1.reshape(-1),
+                    pv_all.reshape(-1))
 
-            st0 = dict(
-                phase=jnp.where(nsm1 > 0, CURSOR, DONE2).astype(jnp.int32),
-                k=jnp.zeros(R, jnp.int32),
-                p=jnp.zeros(R, jnp.int32),
-                npv=jnp.zeros(R, jnp.int32),
-                psp=jnp.zeros(R, jnp.int32),
-                mi=jnp.ones(R, jnp.int32),
-                nsm=jnp.zeros(R, jnp.int32),
-                starts=jnp.zeros((R, M2 + 1), jnp.int32),
-                ends=jnp.zeros((R, M2 + 1), jnp.int32),
-                lbs=jnp.zeros((R, M2 + 1), jnp.int32),
-                cnts=jnp.zeros((R, M2 + 1), jnp.int32),
-            )
+        def machinery(di, qbuf, nf, nr, lens, tabs, minseed, R, Lp, M1):
+            fns = raw(di)
+            nq_f, st1f_, en1f_, cn1f_, pvf_ = tabs
+            nf_f = nf.reshape(-1)
+            nr_f = nr.reshape(-1)
 
-            def cond(st):
-                return jnp.any(st["phase"] != DONE2)
+            def body(lanes, lens_l, st):
+                def tabf(pos):
+                    return jnp.take(nf_f,
+                                    lanes * Lp + jnp.clip(pos, 0, Lp - 1),
+                                    mode="clip")
 
-            def body(st):
+                def tabr(pos):
+                    return jnp.take(nr_f,
+                                    lanes * Lp + jnp.clip(pos, 0, Lp - 1),
+                                    mode="clip")
+
                 phase, k = st["phase"], st["k"]
                 p, npv, psp, mi = st["p"], st["npv"], st["psp"], st["mi"]
+                M2 = st["starts"].shape[1] - 1
 
-                # ---- cursor lanes: jump straight to the next qualifying slot
                 is_cur = phase == CURSOR
                 kk = jnp.clip(k, 0, M1)
-                k_next = jnp.take(nq_f, lane * (M1 + 1) + kk, mode="clip")
+                k_next = jnp.take(nq_f, lanes * (M1 + 1) + kk, mode="clip")
                 has = k_next <= M1
-                idx_n = lane * (M1 + 1) + jnp.clip(k_next, 0, M1)
+                idx_n = lanes * (M1 + 1) + jnp.clip(k_next, 0, M1)
                 s_ = jnp.take(st1f_, idx_n, mode="clip")
                 e_ = jnp.take(en1f_, idx_n, mode="clip")
                 c_ = jnp.take(cn1f_, idx_n, mode="clip")
@@ -717,12 +698,11 @@ class DeviceSeedingEngine:
                 mi = jnp.where(is_cur & has, c_ + 1, mi)
                 started = is_cur & has  # machine starts NEXT iteration
 
-                # ---- machine lanes: one query step
                 is_m = ((phase == RLEN) | (phase == LEFT2) | (phase == REMZ)
                         | (phase == REM)) & (~started)
                 is_left = phase == LEFT2
-                lp = lens - 1 - p
-                row = jnp.where(is_left, R + lane, lane)
+                lp = lens_l - 1 - p
+                row = jnp.where(is_left, R + lanes, lanes)
                 piv_q = jnp.where(is_left, lp, p)
                 v_raw = jnp.where(is_left, tabr(lp) - lp, tabf(p) - p)
                 v = jnp.where(is_m, v_raw, 0).astype(jnp.int32)
@@ -731,10 +711,10 @@ class DeviceSeedingEngine:
                 emit = is_m & ((phase == REMZ) | (phase == REM)) & \
                     (mlen >= minseed)
                 slot_o = jnp.where(emit & (st["nsm"] < M2), st["nsm"], M2)
-                starts = st["starts"].at[lane, slot_o].set(p)
-                ends = st["ends"].at[lane, slot_o].set(p + mlen)
-                lbs = st["lbs"].at[lane, slot_o].set(lb.astype(jnp.int32))
-                cnts = st["cnts"].at[lane, slot_o].set(cnt.astype(jnp.int32))
+                starts = st["starts"].at[lanes, slot_o].set(p)
+                ends = st["ends"].at[lanes, slot_o].set(p + mlen)
+                lbs = st["lbs"].at[lanes, slot_o].set(lb.astype(jnp.int32))
+                cnts = st["cnts"].at[lanes, slot_o].set(cnt.astype(jnp.int32))
                 nsm = st["nsm"] + (emit & (st["nsm"] < M2))
 
                 npv_rlen = p + mlen
@@ -758,7 +738,6 @@ class DeviceSeedingEngine:
                 new_npv = jnp.where(phase == RLEN, npv_rlen, npv)
                 new_psp = jnp.where(
                     phase == RLEN, p, jnp.where(phase == REMZ, sp, psp))
-                # a finished job returns to the cursor at the next slot
                 done_job = is_m & (new_phase == DONE2)
                 new_phase = jnp.where(done_job, CURSOR, new_phase)
                 k = jnp.where(done_job, k + 1, k)
@@ -767,15 +746,111 @@ class DeviceSeedingEngine:
                 p = jnp.where(is_m, new_p, p)
                 npv = jnp.where(is_m, new_npv, npv)
                 psp = jnp.where(is_m, new_psp, psp)
-                return dict(phase=phase, k=k, p=p, npv=npv, psp=psp, mi=mi,
-                            nsm=nsm, starts=starts, ends=ends, lbs=lbs,
-                            cnts=cnts)
+                return dict(it=st["it"] + 1, phase=phase, k=k, p=p, npv=npv,
+                            psp=psp, mi=mi, nsm=nsm, starts=starts,
+                            ends=ends, lbs=lbs, cnts=cnts)
 
-            st = jax.lax.while_loop(cond, body, st0)
-            return (jnp.stack([st["starts"], st["ends"], st["lbs"],
-                               st["cnts"]]), st["nsm"])
+            return body
 
-        return jax.jit(fused, static_argnames=("M1", "M2"))
+        def begin(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
+                  split_len, split_width, minseed, M1, M2, cap1):
+            nf = nf.astype(jnp.int32)
+            nr = nr.astype(jnp.int32)
+            R, Lp = nf.shape
+            tabs = tables(nf, st1, en1, cn1, nsm1, split_len, split_width,
+                          R, Lp, M1)
+            body = machinery(di, qbuf, nf, nr, lens_r, tabs, minseed, R, Lp,
+                             M1)
+            lanes = jnp.arange(R, dtype=jnp.int32)
+            st0 = dict(
+                it=jnp.int32(0),
+                phase=jnp.where(nsm1 > 0, CURSOR, DONE2).astype(jnp.int32),
+                k=jnp.zeros(R, jnp.int32),
+                p=jnp.zeros(R, jnp.int32),
+                npv=jnp.zeros(R, jnp.int32),
+                psp=jnp.zeros(R, jnp.int32),
+                mi=jnp.ones(R, jnp.int32),
+                nsm=jnp.zeros(R, jnp.int32),
+                starts=jnp.zeros((R, M2 + 1), jnp.int32),
+                ends=jnp.zeros((R, M2 + 1), jnp.int32),
+                lbs=jnp.zeros((R, M2 + 1), jnp.int32),
+                cnts=jnp.zeros((R, M2 + 1), jnp.int32),
+            )
+
+            def cond(st):
+                return jnp.any(st["phase"] != DONE2) & (st["it"] < cap1)
+
+            st = jax.lax.while_loop(
+                cond, lambda st: body(lanes, lens_r, st), st0)
+            return (st["phase"], st["k"], st["p"], st["npv"], st["psp"],
+                    st["mi"], st["nsm"],
+                    jnp.stack([st["starts"], st["ends"], st["lbs"],
+                               st["cnts"]]))
+
+        def continue_at(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
+                        split_len, split_width, minseed,
+                        phase_f, k_f, p_f, npv_f, psp_f, mi_f, nsm_f, slots,
+                        M1, Rc):
+            nf = nf.astype(jnp.int32)
+            nr = nr.astype(jnp.int32)
+            R, Lp = nf.shape
+            tabs = tables(nf, st1, en1, cn1, nsm1, split_len, split_width,
+                          R, Lp, M1)
+            body = machinery(di, qbuf, nf, nr, lens_r, tabs, minseed, R, Lp,
+                             M1)
+            if Rc:
+                order = jnp.argsort((phase_f == DONE2).astype(jnp.int32),
+                                    stable=True)
+                lanes = order[:Rc].astype(jnp.int32)
+            else:
+                lanes = jnp.arange(R, dtype=jnp.int32)
+            lens_l = jnp.take(lens_r, lanes)
+            st0 = dict(
+                it=jnp.int32(0),
+                phase=jnp.take(phase_f, lanes),
+                k=jnp.take(k_f, lanes),
+                p=jnp.take(p_f, lanes),
+                npv=jnp.take(npv_f, lanes),
+                psp=jnp.take(psp_f, lanes),
+                mi=jnp.take(mi_f, lanes),
+                nsm=jnp.take(nsm_f, lanes),
+                starts=slots[0], ends=slots[1], lbs=slots[2], cnts=slots[3],
+            )
+
+            def cond(st):
+                return jnp.any(st["phase"] != DONE2)
+
+            st = jax.lax.while_loop(
+                cond, lambda st: body(lanes, lens_l, st), st0)
+            return (phase_f.at[lanes].set(st["phase"]),
+                    k_f.at[lanes].set(st["k"]),
+                    p_f.at[lanes].set(st["p"]),
+                    npv_f.at[lanes].set(st["npv"]),
+                    psp_f.at[lanes].set(st["psp"]),
+                    mi_f.at[lanes].set(st["mi"]),
+                    nsm_f.at[lanes].set(st["nsm"]),
+                    jnp.stack([st["starts"], st["ends"], st["lbs"],
+                               st["cnts"]]))
+
+        jb = jax.jit(begin, static_argnames=("M1", "M2", "cap1"))
+        jc = jax.jit(continue_at, static_argnames=("M1", "Rc"))
+
+        def fused(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
+                  split_len, split_width, minseed, M1, M2):
+            cap1 = int(getattr(self, "step2_cap1", 16))
+            st = jb(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
+                    split_len, split_width, minseed, M1=M1, M2=M2,
+                    cap1=cap1)
+            R = nf.shape[0]
+            Rc = max(64, R // 4)
+            if Rc < R:
+                st = jc(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
+                        split_len, split_width, minseed, *st, M1=M1, Rc=Rc)
+            st = jc(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
+                    split_len, split_width, minseed, *st, M1=M1, Rc=0)
+            return st[7], st[6]
+
+        return fused
 
     # ------------------------------------------------- fused device kernels
     def _build_fused_step1(self):
