@@ -265,15 +265,31 @@ class Aligner:
         text = idx.text
         recs = [self._encode(r) for r in reads]
 
-        # kernels 1-2 in device-sized batches (fixed lane counts keep the
-        # compiled programs unique); pairing statistics stay chunk-wide below
+        # kernels 1-2 in device-sized batches, pipelined like align_stream
+        # (seed(k+1) enqueued between extend(k)'s dispatch and its host
+        # finalization); pairing statistics stay chunk-wide below
         bsz = getattr(self.engine, "lanes", None) or len(recs) or 1
+        parts = [recs[b0: b0 + bsz] for b0 in range(0, len(recs), bsz)]
         deduped = []
-        for b0 in range(0, len(recs), bsz):
-            part = recs[b0: b0 + bsz]
-            smems_per_read = self.collect_smems(part)
-            regs_per_read = self._kernel2_finish(
-                self._kernel2_submit(part, smems_per_read))
+        seed_tok = self._submit_seed(parts[0]) if parts else None
+        for pi, part in enumerate(parts):
+            smems = None
+            if seed_tok is not None:
+                try:
+                    smems = self.engine.finish_batch_flat(seed_tok)
+                    if smems is None:
+                        lst = self.engine.finish_batch(seed_tok)
+                        smems = [sorted(sm, key=lambda s: (s.start, s.end))
+                                 for sm in lst]
+                except Exception:
+                    self.engine.use_fused = False
+                    smems = None
+            if smems is None:
+                smems = self.collect_smems(part)
+            k2 = self._kernel2_submit(part, smems)
+            seed_tok = (self._submit_seed(parts[pi + 1])
+                        if pi + 1 < len(parts) else None)
+            regs_per_read = self._kernel2_finish(k2)
             for rec, regs in zip(part, regs_per_read):
                 regs = [r for r in regs if r.qe > r.qb]
                 regs = finalize.sort_dedup_patch(opt, bns, text, rec.codes,
