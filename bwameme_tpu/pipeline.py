@@ -36,6 +36,10 @@ class ReadRec:
     comment: str | None
 
 
+# shape-padding sentinel for tail batches (identity-compared)
+_PAD_REC = ReadRec("*pad*", np.zeros(0, np.uint8), None, None)
+
+
 class Aligner:
     def __init__(self, idx: MemeIndex, opt: MemOptions | None = None,
                  seeding_engine=None, rg_id: str | None = None,
@@ -156,6 +160,9 @@ class Aligner:
 
     def _finalize_se(self, recs, regs_per_read) -> list[str]:
         """Kernel 3 for single-end reads: dedup, primary marking, SAM."""
+        while recs and recs[-1] is _PAD_REC:  # drop shape-padding reads
+            recs = recs[: len(recs) - 1]
+            regs_per_read = regs_per_read[: len(recs)]
         opt, idx = self.opt, self.idx
         bns, text = idx.bns, idx.text
         out = []
@@ -201,8 +208,12 @@ class Aligner:
         order."""
         engine = self.engine
         pending = None
+        B0 = None
         for reads in batches:
             recs = [self._encode(r) for r in reads]
+            if B0 is None:
+                B0 = len(recs)
+            recs = self._pad_batch(recs, B0)
             if pending is None:
                 pending = (recs, self._submit_seed(recs))
                 continue
@@ -212,6 +223,16 @@ class Aligner:
         if pending is not None:
             sam, _ = self._finish_stream(pending, next_recs=None)
             yield sam
+
+    @staticmethod
+    def _pad_batch(recs, B):
+        """Pad a short (tail) batch with empty reads to the stream's batch
+        size: a fresh lane-count shape would recompile every device program
+        for a single chunk tail. Padding reads have length 0 (no seeds, no
+        chains) and their SAM output is dropped by the n_real trim."""
+        if len(recs) >= B or not recs:
+            return recs
+        return recs + [_PAD_REC] * (B - len(recs))
 
     def _submit_seed(self, recs):
         if not hasattr(self.engine, "submit_batch"):
@@ -269,7 +290,8 @@ class Aligner:
         # (seed(k+1) enqueued between extend(k)'s dispatch and its host
         # finalization); pairing statistics stay chunk-wide below
         bsz = getattr(self.engine, "lanes", None) or len(recs) or 1
-        parts = [recs[b0: b0 + bsz] for b0 in range(0, len(recs), bsz)]
+        parts = [self._pad_batch(recs[b0: b0 + bsz], bsz)
+                 for b0 in range(0, len(recs), bsz)]
         deduped = []
         seed_tok = self._submit_seed(parts[0]) if parts else None
         for pi, part in enumerate(parts):
@@ -291,6 +313,8 @@ class Aligner:
                         if pi + 1 < len(parts) else None)
             regs_per_read = self._kernel2_finish(k2)
             for rec, regs in zip(part, regs_per_read):
+                if rec is _PAD_REC:
+                    continue
                 regs = [r for r in regs if r.qe > r.qb]
                 regs = finalize.sort_dedup_patch(opt, bns, text, rec.codes,
                                                 regs)
