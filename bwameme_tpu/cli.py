@@ -61,6 +61,20 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("-K", type=int, default=None,
                     help="chunk size in bp (reproducibility knob)")
     pm.add_argument("-R", default=None, help="read group header line")
+    pm.add_argument("-o", "-f", dest="outfile", default=None,
+                    help="output SAM file (default: stdout)")
+    pm.add_argument("-H", dest="hdr_insert", action="append", default=None,
+                    help="insert STR to the SAM header (@-prefixed string "
+                    "or a file of lines)")
+    pm.add_argument("-C", dest="copy_comment", action="store_true",
+                    help="append FASTA/FASTQ comment to SAM output")
+    pm.add_argument("-x", dest="preset", default=None,
+                    help="read type preset: pacbio, ont2d, intractg "
+                    "(changes unset options; short-read tuning remains the "
+                    "design point)")
+    pm.add_argument("-I", dest="insert_spec", default=None,
+                    help="mean[,std[,max[,min]]]: fix the FR insert-size "
+                    "distribution instead of inferring it per chunk")
     pm.add_argument("-Y", action="store_true", help="use soft clipping for "
                     "supplementary alignments")
     pm.add_argument("-a", action="store_true", help="output all alignments")
@@ -183,7 +197,44 @@ def cmd_mem(args) -> int:
         max_chain_gap=args.max_chain_gap, max_chain_extend=args.max_chain_extend,
         mask_level=args.mask_level, max_mem_intv=args.max_mem_intv,
     )
-    if args.A is not None:
+    if args.preset:
+        # read-type presets adjust UNSET options; update_a is skipped when
+        # a preset is given (reference: src/fastmap.cpp:1398-1435)
+        m = args.preset
+        if m == "intractg":
+            if args.O is None:
+                opt.o_del = opt.o_ins = 16
+            if args.B is None:
+                opt.b = 9
+            if args.L is None:
+                opt.pen_clip5 = opt.pen_clip3 = 5
+        elif m in ("pacbio", "pbref", "ont2d"):
+            if args.O is None:
+                opt.o_del = opt.o_ins = 1
+            if args.E is None:
+                opt.e_del = opt.e_ins = 1
+            if args.B is None:
+                opt.b = 1
+            opt.split_factor = 10.0 if args.r == 1.5 else args.r
+            if m == "ont2d":
+                opt.min_chain_weight = (20 if args.min_chain_weight == 0
+                                        else args.min_chain_weight)
+                opt.min_seed_len = 14 if args.k == 19 else args.k
+                if args.L is None:
+                    opt.pen_clip5 = opt.pen_clip3 = 0
+            else:
+                opt.min_chain_weight = (40 if args.min_chain_weight == 0
+                                        else args.min_chain_weight)
+                opt.min_seed_len = 17 if args.k == 19 else args.k
+                if args.L is None:
+                    opt.pen_clip5 = opt.pen_clip3 = 0
+        else:
+            print(f"[mem] unknown read type '{m}'", file=sys.stderr)
+            return 1
+        from bwameme_tpu.utils.config import fill_scmat
+
+        opt.mat = fill_scmat(opt.a, opt.b)
+    elif args.A is not None:
         # -A rescales every *unset* penalty/threshold (reference:
         # src/fastmap.cpp:1126-1140 update_a)
         if args.B is None:
@@ -272,9 +323,41 @@ def cmd_mem(args) -> int:
         for f in rg_line.split("\t"):
             if f.startswith("ID:"):
                 rg_id = f[3:]
-    aligner = Aligner(idx, opt, seeding_engine=engine, rg_id=rg_id)
+    pes0 = None
+    if args.insert_spec:
+        import re as _re
+
+        from bwameme_tpu.align.pairing import PeStat
+
+        nums = [float(x) for x in _re.split(r"[^0-9.eE+-]+", args.insert_spec)
+                if x]
+        fr = PeStat(failed=0)
+        fr.avg = nums[0]
+        fr.std = nums[1] if len(nums) > 1 else fr.avg * 0.1
+        fr.high = int(nums[2] + 0.499) if len(nums) > 2 else int(
+            fr.avg + 4.0 * fr.std + 0.499)
+        fr.low = int(nums[3] + 0.499) if len(nums) > 3 else max(
+            int(fr.avg - 4.0 * fr.std + 0.499), 1)
+        fr.low = max(fr.low, 1)
+        pes0 = [PeStat(failed=1), fr, PeStat(failed=1), PeStat(failed=1)]
+        print(f"[mem] fixed FR insert size: avg={fr.avg} std={fr.std} "
+              f"range [{fr.low},{fr.high}]", file=sys.stderr)
+    aligner = Aligner(idx, opt, seeding_engine=engine, rg_id=rg_id,
+                      pes0=pes0, copy_comment=args.copy_comment)
+    out = open(args.outfile, "w") if args.outfile else sys.stdout
+    extra_hdr = None
+    if args.hdr_insert:
+        hdr_lines = []
+        for h in args.hdr_insert:
+            if h.startswith("@"):
+                hdr_lines.append(h.replace("\\t", "\t"))
+            else:
+                with open(h) as f:
+                    hdr_lines.extend(ln.rstrip("\n") for ln in f)
+        extra_hdr = "\n".join(hdr_lines)
     pg = sam.make_pg_line(__version__, " ".join(sys.argv))
-    sys.stdout.write(sam.sam_header(idx.bns, rg_line=rg_line, pg_line=pg))
+    out.write(sam.sam_header(idx.bns, rg_line=rg_line, pg_line=pg,
+                             extra_hdr=extra_hdr))
 
     chunk_bp = args.K if args.K else 10_000_000 * max(args.t, 1)
     n = 0
@@ -292,14 +375,16 @@ def cmd_mem(args) -> int:
                            for i in range(0, len(chunk), args.batch))
                 for blocks in aligner.align_stream(batches):
                     with timer.stage("write"):
-                        sys.stdout.writelines(blocks)
+                        out.writelines(blocks)
                 blocks = []
         with timer.stage("write"):
-            sys.stdout.writelines(blocks)
+            out.writelines(blocks)
         n += len(chunk)
         print(f"[mem] processed {n} reads ({n/(time.time()-t0):.0f} reads/s)",
               file=sys.stderr)
     timer.report(sys.stderr)
+    if out is not sys.stdout:
+        out.close()
     return 0
 
 

@@ -43,12 +43,17 @@ _PAD_REC = ReadRec("*pad*", np.zeros(0, np.uint8), None, None)
 class Aligner:
     def __init__(self, idx: MemeIndex, opt: MemOptions | None = None,
                  seeding_engine=None, rg_id: str | None = None,
-                 batched_rescue: bool | None = None) -> None:
+                 batched_rescue: bool | None = None, pes0=None,
+                 copy_comment: bool = False) -> None:
         self.idx = idx
         self.opt = opt or MemOptions()
         self.engine = seeding_engine or HostSeedingEngine(idx, self.opt)
         self.rg_id = rg_id
         self.n_processed = 0
+        # -I: fixed insert-size distribution instead of per-chunk inference
+        # (reference: src/fastmap.cpp:1346-1360, src/bwamem.cpp:1951-1953)
+        self.pes0 = pes0
+        self.copy_comment = copy_comment
         # PE mate rescue: one batched kswv-analog dispatch per chunk when a
         # device engine drives seeding (the reference's mem_sam_pe_batch
         # path); the serial per-pair path otherwise (mem_matesw)
@@ -130,7 +135,8 @@ class Aligner:
 
     def _encode(self, read: Read) -> ReadRec:
         codes = NT4_TABLE[np.frombuffer(read.seq.encode(), dtype=np.uint8)]
-        return ReadRec(read.name, codes, read.qual, read.comment)
+        comment = read.comment if self.copy_comment else None
+        return ReadRec(read.name, codes, read.qual, comment)
 
     def collect_smems(self, recs: list[ReadRec]):
         """Kernel-1 seeding for a batch; uses the engine's batched interface
@@ -324,8 +330,9 @@ class Aligner:
                         r.is_alt = True
                 deduped.append(regs)
 
-        # insert-size statistics over the whole chunk
-        pes = pairing.pestat(opt, bns.l_pac, deduped)
+        # insert-size statistics over the whole chunk (or the -I override)
+        pes = (self.pes0 if self.pes0 is not None
+               else pairing.pestat(opt, bns.l_pac, deduped))
         if self.batched_rescue:
             recs_pairs = [(recs[i], recs[i + 1]) for i in range(0, len(reads), 2)]
             regs_pairs = [[deduped[i], deduped[i + 1]]
