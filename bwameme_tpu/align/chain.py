@@ -256,6 +256,100 @@ def chn_end(c: Chain) -> int:
     return s.qbeg + s.len
 
 
+def ks_introsort(a: list, lt) -> None:
+    """Exact port of the reference's ks_introsort (src/ksort.h:185-235):
+    median-of-3 quicksort partitioning (small segments left unsorted) plus
+    a final insertion pass, with a combsort depth bomb. The algorithm is
+    NOT stable — and the order of EQUAL elements is part of the output
+    contract wherever the reference sorts with a non-unique key (the chain
+    filter sorts by weight alone: equal-weight chains at different loci
+    end up in partition-swap order, which decides which shadowed chain the
+    `first` mechanism resurrects and therefore which secondary alignment
+    is emitted). A stable sort here produces different — equally valid but
+    not bit-identical — SAM on repeat ties."""
+    n = len(a)
+    if n < 1:
+        return
+    if n == 2:
+        if lt(a[1], a[0]):
+            a[0], a[1] = a[1], a[0]
+        return
+
+    def insertsort(lo, hi):
+        for i in range(lo + 1, hi):
+            j = i
+            while j > lo and lt(a[j], a[j - 1]):
+                a[j], a[j - 1] = a[j - 1], a[j]
+                j -= 1
+
+    def combsort(lo, m):
+        shrink = 1.2473309501039786540366528676643
+        gap = m
+        while True:
+            if gap > 2:
+                gap = int(gap / shrink)
+                if gap in (9, 10):
+                    gap = 11
+            do_swap = False
+            for i in range(lo, lo + m - gap):
+                j = i + gap
+                if lt(a[j], a[i]):
+                    a[i], a[j] = a[j], a[i]
+                    do_swap = True
+            if not (do_swap or gap > 2):
+                break
+        if gap != 1:
+            insertsort(lo, lo + m)
+
+    d = 2
+    while (1 << d) < n:
+        d += 1
+    stack = []
+    s, t = 0, n - 1
+    d <<= 1
+    while True:
+        if s < t:
+            d -= 1
+            if d == 0:
+                combsort(s, t - s + 1)
+                t = s
+                continue
+            i, j = s, t
+            k = i + ((j - i) >> 1) + 1
+            if lt(a[k], a[i]):
+                if lt(a[k], a[j]):
+                    k = j
+            else:
+                k = i if lt(a[j], a[i]) else j
+            rp = a[k]
+            if k != t:
+                a[k], a[t] = a[t], a[k]
+            while True:
+                i += 1
+                while lt(a[i], rp):
+                    i += 1
+                j -= 1
+                while i <= j and lt(rp, a[j]):
+                    j -= 1
+                if j <= i:
+                    break
+                a[i], a[j] = a[j], a[i]
+            a[i], a[t] = a[t], a[i]
+            if i - s > t - i:
+                if i - s > 16:
+                    stack.append((s, i - 1, d))
+                s = i + 1 if t - i > 16 else t
+            else:
+                if t - i > 16:
+                    stack.append((i + 1, t, d))
+                t = i - 1 if i - s > 16 else s
+        else:
+            if not stack:
+                insertsort(0, n)
+                return
+            s, t, d = stack.pop()
+
+
 def filter_chains(opt, chains: list[Chain]) -> list[Chain]:
     """mem_chain_flt for a single read (reference: src/bwamem.cpp:599-718)."""
     if not chains:
@@ -269,8 +363,8 @@ def filter_chains(opt, chains: list[Chain]) -> list[Chain]:
             a.append(c)
     if not a:
         return []
-    # sort by weight descending (ks_introsort(mem_flt): (a).w > (b).w)
-    a.sort(key=lambda c: -c.w)
+    # ks_introsort(mem_flt): (a).w > (b).w — tie order matters (see above)
+    ks_introsort(a, lambda x, y: x.w > y.w)
     kept_idx = [0]
     a[0].kept = 3
     for i in range(1, len(a)):

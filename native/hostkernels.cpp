@@ -311,6 +311,94 @@ inline int64_t chn_end_c(const CChain& c) {
   return s.qbeg + s.len;
 }
 
+// Exact port of ks_introsort (reference: src/ksort.h:185-235) over an
+// arbitrary element type: the reference's chain filter sorts by weight
+// ALONE, so the (unstable) partition-swap order of equal-weight chains is
+// part of the bit-exact SAM contract (it decides which shadowed chain the
+// `first` mechanism resurrects). LT = strict ordering functor.
+template <typename T, typename LT>
+void ks_introsort_c(T* a, int64_t n, LT lt) {
+  if (n < 1) return;
+  if (n == 2) {
+    if (lt(a[1], a[0])) std::swap(a[0], a[1]);
+    return;
+  }
+  auto insertsort = [&](T* s, T* t) {
+    for (T* i = s + 1; i < t; ++i)
+      for (T* j = i; j > s && lt(*j, *(j - 1)); --j) std::swap(*j, *(j - 1));
+  };
+  auto combsort = [&](T* base, int64_t m) {
+    const double shrink = 1.2473309501039786540366528676643;
+    int64_t gap = m;
+    bool do_swap;
+    do {
+      if (gap > 2) {
+        gap = (int64_t)(gap / shrink);
+        if (gap == 9 || gap == 10) gap = 11;
+      }
+      do_swap = false;
+      for (T* i = base; i < base + m - gap; ++i) {
+        T* j = i + gap;
+        if (lt(*j, *i)) {
+          std::swap(*i, *j);
+          do_swap = true;
+        }
+      }
+    } while (do_swap || gap > 2);
+    if (gap != 1) insertsort(base, base + m);
+  };
+  int d = 2;
+  while ((1ll << d) < n) ++d;
+  struct Frame { T* left; T* right; int depth; };
+  std::vector<Frame> stack;
+  T* s = a;
+  T* t = a + (n - 1);
+  d <<= 1;
+  while (true) {
+    if (s < t) {
+      if (--d == 0) {
+        combsort(s, t - s + 1);
+        t = s;
+        continue;
+      }
+      T* i = s;
+      T* j = t;
+      T* k = i + ((j - i) >> 1) + 1;
+      if (lt(*k, *i)) {
+        if (lt(*k, *j)) k = j;
+      } else {
+        k = lt(*j, *i) ? i : j;
+      }
+      T rp = *k;
+      if (k != t) std::swap(*k, *t);
+      for (;;) {
+        do ++i; while (lt(*i, rp));
+        do --j; while (i <= j && lt(rp, *j));
+        if (j <= i) break;
+        std::swap(*i, *j);
+      }
+      std::swap(*i, *t);
+      if (i - s > t - i) {
+        if (i - s > 16) stack.push_back({s, i - 1, d});
+        s = t - i > 16 ? i + 1 : t;
+      } else {
+        if (t - i > 16) stack.push_back({i + 1, t, d});
+        t = i - s > 16 ? i - 1 : s;
+      }
+    } else {
+      if (stack.empty()) {
+        insertsort(a, a + n);
+        return;
+      }
+      Frame f = stack.back();
+      stack.pop_back();
+      s = f.left;
+      t = f.right;
+      d = f.depth;
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -409,10 +497,10 @@ int64_t chain_and_filter_c(
         if (c.w >= min_chain_weight) flt.push_back(&c);
       }
       if (!flt.empty()) {
-        std::stable_sort(flt.begin(), flt.end(),
-                         [](const CChain* x, const CChain* y) {
-                           return x->w > y->w;
-                         });
+        ks_introsort_c(flt.data(), (int64_t)flt.size(),
+                       [](const CChain* x, const CChain* y) {
+                         return x->w > y->w;
+                       });
         std::vector<int64_t> kept_idx{0};
         flt[0]->kept = 3;
         for (size_t i2 = 1; i2 < flt.size(); ++i2) {
