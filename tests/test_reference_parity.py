@@ -31,6 +31,11 @@ difference is a REFERENCE bug, not ours:
     contract — the semantics bwa-mem 0.7.17 defines and the reference
     documents as its ground truth — so our XS tags differ from the binary
     exactly where its 8-bit kernel saturates.
+
+The fuzzing also surfaced that equal-WEIGHT chain ties are resolved by
+ks_introsort's unstable partition order (it decides which repeat copy is
+emitted as a secondary under -a); align/chain.ks_introsort ports the
+reference sort literally so those ties match bit-for-bit too.
 """
 
 import os
