@@ -94,7 +94,10 @@ def _load():
         ]
         lib.extend_finalize_c.restype = None
         _lib = lib
-    except Exception:
+    except (OSError, RuntimeError, AttributeError) as e:
+        from bwameme_tpu.utils import fallbacks
+
+        fallbacks.note("native.hostkernels_load", e)
         _failed = True
         _lib = None
     return _lib

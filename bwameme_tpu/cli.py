@@ -46,10 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("reads2", nargs="?", default=None)
     pm.add_argument("-t", type=int, default=1, help="threads (accepted for "
                     "compatibility; device batching replaces host threads)")
-    pm.add_argument("-k", type=int, default=19, help="min seed length")
+    pm.add_argument("-k", type=int, default=None, help="min seed length")
     pm.add_argument("-w", type=int, default=100, help="band width")
     pm.add_argument("-d", type=int, default=None, help="Z-dropoff")
-    pm.add_argument("-r", type=float, default=1.5, help="reseed trigger")
+    pm.add_argument("-r", type=float, default=None, help="reseed trigger")
     pm.add_argument("-c", type=int, default=500, help="max occurrences")
     pm.add_argument("-A", type=int, default=None, help="match score")
     pm.add_argument("-B", type=int, default=None, help="mismatch penalty")
@@ -98,7 +98,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reseed if there are fewer than INT hits")
     pm.add_argument("-D", dest="drop_ratio", type=float, default=0.50,
                     help="drop chains shorter than FLOAT of the longest")
-    pm.add_argument("-W", dest="min_chain_weight", type=int, default=0,
+    pm.add_argument("-W", dest="min_chain_weight", type=int, default=None,
                     help="discard chains with seeded bases shorter than INT")
     pm.add_argument("-m", dest="max_matesw", type=int, default=50,
                     help="perform at most INT rounds of mate rescue")
@@ -186,14 +186,17 @@ def cmd_mem(args) -> int:
         e_del=args.E if args.E is not None else 1,
         e_ins=args.E if args.E is not None else 1,
         w=args.w, zdrop=args.d if args.d is not None else 100,
-        min_seed_len=args.k,
-        split_factor=args.r, max_occ=args.c,
+        min_seed_len=args.k if args.k is not None else 19,
+        split_factor=args.r if args.r is not None else 1.5,
+        max_occ=args.c,
         pen_clip5=args.L if args.L is not None else 5,
         pen_clip3=args.L if args.L is not None else 5,
         pen_unpaired=args.U if args.U is not None else 17,
         T=args.T if args.T is not None else 30,
         split_width=args.split_width, drop_ratio=args.drop_ratio,
-        min_chain_weight=args.min_chain_weight, max_matesw=args.max_matesw,
+        min_chain_weight=(args.min_chain_weight
+                          if args.min_chain_weight is not None else 0),
+        max_matesw=args.max_matesw,
         max_chain_gap=args.max_chain_gap, max_chain_extend=args.max_chain_extend,
         mask_level=args.mask_level, max_mem_intv=args.max_mem_intv,
     )
@@ -215,17 +218,20 @@ def cmd_mem(args) -> int:
                 opt.e_del = opt.e_ins = 1
             if args.B is None:
                 opt.b = 1
-            opt.split_factor = 10.0 if args.r == 1.5 else args.r
+            if args.r is None:
+                opt.split_factor = 10.0
             if m == "ont2d":
-                opt.min_chain_weight = (20 if args.min_chain_weight == 0
-                                        else args.min_chain_weight)
-                opt.min_seed_len = 14 if args.k == 19 else args.k
+                if args.min_chain_weight is None:
+                    opt.min_chain_weight = 20
+                if args.k is None:
+                    opt.min_seed_len = 14
                 if args.L is None:
                     opt.pen_clip5 = opt.pen_clip3 = 0
             else:
-                opt.min_chain_weight = (40 if args.min_chain_weight == 0
-                                        else args.min_chain_weight)
-                opt.min_seed_len = 17 if args.k == 19 else args.k
+                if args.min_chain_weight is None:
+                    opt.min_chain_weight = 40
+                if args.k is None:
+                    opt.min_seed_len = 17
                 if args.L is None:
                     opt.pen_clip5 = opt.pen_clip3 = 0
         else:
@@ -295,9 +301,25 @@ def cmd_mem(args) -> int:
     if args.ert:
         args.backend = "ert"
     if args.backend == "ert":
+        import os
+
         from bwameme_tpu.seeding.engine import DeviceSeedingEngine
 
-        engine = DeviceSeedingEngine(idx, opt, root="kmer")
+        if args.engine == "host":
+            print("[mem] --backend ert requires the device engine (the "
+                  "host oracle implements the learned/FMI contracts only)",
+                  file=sys.stderr)
+            return 1
+        # honor a persisted k-mer root table (`index -a ert`) so the bit
+        # width used at `mem` time matches what `index` chose
+        ert_bits = 0
+        if os.path.exists(args.prefix + ".ert.npz"):
+            import numpy as np
+
+            with np.load(args.prefix + ".ert.npz") as z:
+                ert_bits = int(z["kmer_bits"])
+        engine = DeviceSeedingEngine(idx, opt, root="kmer",
+                                     ert_bits=ert_bits)
     elif args.backend == "fmi":
         import os
 
@@ -404,6 +426,16 @@ def cmd_version() -> int:
 
 
 def main(argv=None) -> int:
+    import os
+
+    # the container's sitecustomize may pin JAX_PLATFORMS to a remote TPU
+    # plugin; BWAMEME_PLATFORM overrides it from inside the process (plain
+    # env vars lose the race), e.g. =cpu for subprocess-driven tests
+    plat = os.environ.get("BWAMEME_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
     if args.cmd == "index":
         return cmd_index(args)

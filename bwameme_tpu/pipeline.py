@@ -25,6 +25,7 @@ from bwameme_tpu.index.build import MemeIndex
 from bwameme_tpu.index.packing import NT4_TABLE
 from bwameme_tpu.io.fastq import Read
 from bwameme_tpu.seeding.host_engine import HostSeedingEngine
+from bwameme_tpu.utils import fallbacks
 from bwameme_tpu.utils.config import MEM_F_ALL, MEM_F_PRIMARY5, MemOptions
 
 
@@ -74,11 +75,8 @@ class Aligner:
                 return extend_mod.extend_chains_batch_fused(
                     self.opt, self.idx.bns, self.idx.text, queries,
                     chains_per_read, self.engine.di.text32)
-            except Exception:
-                import sys
-
-                print("[pipeline] fused extension unavailable; falling back"
-                      " to the paired-buffer path", file=sys.stderr)
+            except fallbacks.EXPECTED as e:
+                fallbacks.note("extension.fused", e)
                 self.fused_extension = False
         return extend_mod.extend_chains_batch(
             self.opt, self.idx.bns, self.idx.text, queries, chains_per_read)
@@ -104,22 +102,16 @@ class Aligner:
                         self.engine.di.text32)
                     if tok is not None:
                         return ("flat", tok)
-            except Exception:
-                import sys
-
-                print("[pipeline] flat-native extension failed; using the"
-                      " dataclass path", file=sys.stderr)
+            except fallbacks.EXPECTED as e:
+                fallbacks.note("extension.flat_native", e)
         queries, chains_per_read = self._chain_batch(recs, smems_per_read)
         if self.fused_extension:
             try:
                 return ("fused", extend_mod.fused_extend_submit(
                     self.opt, self.idx.bns, self.idx.text, queries,
                     chains_per_read, self.engine.di.text32))
-            except Exception:
-                import sys
-
-                print("[pipeline] fused extension unavailable; falling back"
-                      " to the paired-buffer path", file=sys.stderr)
+            except fallbacks.EXPECTED as e:
+                fallbacks.note("extension.fused_submit", e)
                 self.fused_extension = False
         return ("buffer", (queries, chains_per_read))
 
@@ -245,7 +237,8 @@ class Aligner:
             return None
         try:
             return self.engine.submit_batch([r.codes for r in recs])
-        except Exception:
+        except fallbacks.EXPECTED as e:
+            fallbacks.note("seeding.submit", e)
             self.engine.use_fused = False
             return None
 
@@ -262,7 +255,8 @@ class Aligner:
                     lst = self.engine.finish_batch(token)
                     smems = [sorted(sm, key=lambda s: (s.start, s.end))
                              for sm in lst]
-            except Exception:
+            except fallbacks.EXPECTED as e:
+                fallbacks.note("seeding.finish", e)
                 self.engine.use_fused = False
                 smems = None
         if smems is None:
@@ -309,7 +303,8 @@ class Aligner:
                         lst = self.engine.finish_batch(seed_tok)
                         smems = [sorted(sm, key=lambda s: (s.start, s.end))
                                  for sm in lst]
-                except Exception:
+                except fallbacks.EXPECTED as e:
+                    fallbacks.note("seeding.finish_pe", e)
                     self.engine.use_fused = False
                     smems = None
             if smems is None:

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from bwameme_tpu.index.packing import pack_words
+from bwameme_tpu.utils import fallbacks
 from bwameme_tpu.ops.sa_search import DeviceIndex, make_search_fns
 from bwameme_tpu.seeding.host_engine import (FlatSmems, HostSeedingEngine,
                                              Smem)
@@ -40,26 +41,17 @@ class DeviceSeedingEngine:
         backend: direct k-mer-root window, see index/ert.py)."""
         self.idx = idx
         self.opt = opt
+        self.root = root
         self.di = DeviceIndex.from_host(
             idx, ert_bits=(ert_bits if root == "kmer" else None))
-        # compare depth: patterns never exceed the read length, so the
-        # suffix-compare unroll needs exactly ceil(max_read_len/32) 32-base
-        # segments (each segment is ~2 HBM gather rounds — keep it minimal)
-        self.fns = make_search_fns(
-            self.di, max_read_words=-(-max_read_len // 16), root=root)
-        self.max_read_len = max_read_len
         # fixed lane count -> exactly one compilation per query kernel
         # (shrinking active sets run with inert lanes; gathers are cheap)
         self.lanes = lanes
-        self._tr = self._build_third_round()
         self._prep_dev = self._build_prepare_device()
         # straggler compaction: full-width iterations before the unfinished
         # lanes are compacted to R//4 width (see _build_fused_step1)
         self.step1_cap1 = 30
         self.step2_cap1 = 16
-        self._fused_step1 = self._build_fused_step1()
-        self._fused_step2 = self._build_fused_step2b()
-        self._fused_step3 = self._build_fused_step3()
         self.max_smems = 96  # per-read emission capacity in the fused kernels
         self.use_fused = True
         # steps 2 and 3 as single fused dispatches (depth-2 programs,
@@ -76,6 +68,43 @@ class DeviceSeedingEngine:
         # per-read average emission capacity of the packed (compacted)
         # result transfer; overflow falls back to the full slot transfer
         self.pack_cap_per_read = 24
+        # Read-length tiers: search fns + fused programs are compiled per
+        # length bucket (compare-unroll depth = ceil(bucket/32) 32-base
+        # segments, each ~2 HBM gather rounds — short reads must not pay a
+        # long bucket's probes). The ceiling matches the reference's
+        # LEARNED_MAX_READ_LEN=500 learned-path cap (src/macro.h:54,
+        # hard exit at src/bwamem.cpp:1259-1262).
+        self.len_buckets = (160, 224, 320, 512)
+        self._tiers: dict[int, tuple] = {}
+        self._activate_tier(max_read_len)
+
+    # -------------------------------------------------- read-length tiers
+    def _activate_tier(self, read_len: int) -> None:
+        """Select (building if first use) the compile tier for reads up to
+        `read_len` bases. Tiers share the device-resident index; only the
+        jitted programs differ (suffix-compare unroll depth)."""
+        for b in self.len_buckets:
+            if read_len <= b:
+                bucket = b
+                break
+        else:
+            raise ValueError(
+                f"read length {read_len} exceeds the learned seeding path's "
+                f"{self.len_buckets[-1]} bp ceiling (the reference hard-caps "
+                "at LEARNED_MAX_READ_LEN=500, src/macro.h:54)")
+        # the packed SMEM transfer encodes end coordinates in 10 bits
+        assert bucket <= 1023, "packed transfer requires max_read_len <= 1023"
+        tier = self._tiers.get(bucket)
+        if tier is None:
+            self.fns = make_search_fns(
+                self.di, max_read_words=-(-bucket // 16), root=self.root)
+            tier = (self.fns, self._build_third_round(),
+                    self._build_fused_step1(), self._build_fused_step2b(),
+                    self._build_fused_step3())
+            self._tiers[bucket] = tier
+        (self.fns, self._tr, self._fused_step1, self._fused_step2,
+         self._fused_step3) = tier
+        self.max_read_len = bucket
 
     # ---------------------------------------------------------------- pack
     def _build_pack(self):
@@ -225,11 +254,7 @@ class DeviceSeedingEngine:
         R = len(codes_list)
         mat, rcm, lens, maxlen = self._batch_matrix(codes_list)
         if maxlen > self.max_read_len:
-            raise ValueError(
-                f"read length {maxlen} exceeds this engine's max_read_len="
-                f"{self.max_read_len}; construct DeviceSeedingEngine with a "
-                "larger max_read_len (the reference caps reads at "
-                "LEARNED_MAX_READ_LEN=500, src/macro.h:54)")
+            self._activate_tier(maxlen)
         W = (maxlen + 15) // 16 + 3  # +guard words (all T)
         # pack both strand matrices in one vectorized pass
         safe_f = np.where(mat >= 4, 0, mat).astype(np.uint8)
@@ -330,13 +355,11 @@ class DeviceSeedingEngine:
         if self.use_fused:
             try:
                 return self._collect_fused(codes_list)
-            except Exception as e:  # remote compile of the fused program can
-                # fail on constrained TPU services; the host-driven path uses
-                # the same (smaller) kernels and is semantically identical
-                import sys
-
-                print(f"[engine] fused seeding unavailable ({type(e).__name__});"
-                      " falling back to host-driven waves", file=sys.stderr)
+            except fallbacks.EXPECTED as e:
+                # remote compile of the fused program can fail on constrained
+                # TPU services; the host-driven path uses the same (smaller)
+                # kernels and is semantically identical
+                fallbacks.note("seeding.collect_fused", e)
                 self.use_fused = False
         return self._collect_hostdriven(codes_list)
 
@@ -353,9 +376,7 @@ class DeviceSeedingEngine:
         M2 = 16
         mat, _rcm, lens_np, maxlen = self._batch_matrix(codes_list)
         if maxlen > self.max_read_len:
-            raise ValueError(
-                f"read length {maxlen} exceeds this engine's max_read_len="
-                f"{self.max_read_len}")
+            self._activate_tier(maxlen)
         lens = jnp.asarray(lens_np.astype(np.int32))
         qbuf, nf, nr, nvf = self._prep_dev(jnp.asarray(mat), lens)
         d1 = self._fused_step1(
@@ -1270,7 +1291,8 @@ class DeviceSeedingEngine:
             return None
         try:
             token = self.submit_batch(codes_list)
-        except Exception:
+        except fallbacks.EXPECTED as e:
+            fallbacks.note("seeding.submit_flat", e)
             self.use_fused = False
             return None
         if token is None:

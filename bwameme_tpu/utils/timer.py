@@ -33,3 +33,9 @@ class StageTimer:
             print(f"[stats]   {name:<14} {t:8.2f}s  {100*t/max(total,1e-9):5.1f}%"
                   f"  ({self.counts[name]} calls)", file=out)
         print(f"[stats]   {'total':<14} {total:8.2f}s", file=out)
+        from bwameme_tpu.utils import fallbacks
+
+        for site, n in sorted(fallbacks.summary().items()):
+            print(f"[stats]   FALLBACK {site}: {n}x (fused/device path "
+                  "demoted — investigate before trusting throughput)",
+                  file=out)

@@ -42,6 +42,14 @@ import os
 import subprocess
 import sys
 
+# subprocesses must not pick up the remote-TPU platform (per-dispatch
+# tunnel RTT makes host-engine runs 10x slower) and share the CPU compile
+# cache with the in-process tests
+_ENV = {**os.environ, "BWAMEME_PLATFORM": "cpu",
+        "JAX_COMPILATION_CACHE_DIR": os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".pytest_cache", "jax_cache")}
+
 import numpy as np
 import pytest
 
@@ -105,7 +113,7 @@ def workdir(tmp_path_factory):
     subprocess.run(
         [sys.executable, "-m", "bwameme_tpu.cli", "index", str(fa), "-p",
          str(d / "ours")],
-        check=True, capture_output=True, cwd="/root/repo",
+        check=True, capture_output=True, cwd="/root/repo", env=_ENV,
     )
     return d
 
@@ -125,6 +133,6 @@ def test_se_sam_identical(workdir):
         [sys.executable, "-m", "bwameme_tpu.cli", "mem", "-Y", "-K",
          "100000000", str(d / "ours"), str(d / "reads.fq"),
          "--engine", "host"],
-        check=True, capture_output=True, text=True, cwd="/root/repo",
+        check=True, capture_output=True, text=True, cwd="/root/repo", env=_ENV,
     )
     assert _records(ref.stdout) == _records(ours.stdout)
