@@ -3,11 +3,16 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The headline BWA-MEME metric is seeding throughput (reference README.md:8:
-up to 3.32x BWA-MEM2 per CPU socket). Absolute reference numbers are not
-published machine-readably (BASELINE.md), so `vs_baseline` here reports the
-speedup of the batched TPU engine over this repo's own scalar host oracle
-(HostSeedingEngine) run on this machine's CPU — a conservative stand-in
-measured fresh each run.
+up to 3.32x BWA-MEM2 per CPU socket). `vs_baseline` is the ratio of this
+chip's batched seeding throughput to the REFERENCE BINARY's seeding
+throughput (SMEM+SAL stages of its display_stats breakdown) measured on
+this host's CPU over the identical contig and read set — see
+tools/bench_reference.py, cached in .bench_cache/ref_baseline_{N}mbp.json.
+If the reference baseline is unavailable (no toolchain), falls back to the
+repo's scalar host oracle and says so in the JSON.
+
+Runs in BWAMEME_STRICT mode: any demotion from the fused device paths is a
+hard failure (exit 1), not a quiet slowdown — see utils/fallbacks.py.
 """
 
 import json
@@ -23,6 +28,7 @@ os.environ.setdefault(
                  "jax_cache"),
 )
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("BWAMEME_STRICT", "1")
 
 import numpy as np
 
@@ -82,6 +88,29 @@ def _log(msg):
     print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
+def reference_baseline():
+    """Reference binary's throughput on this host's CPU over the same
+    workload (tools/bench_reference.py). Returns the cached dict or None."""
+    path = os.path.join(CACHE, f"ref_baseline_{int(REF_MBP)}mbp.json")
+    if not os.path.exists(path):
+        import subprocess
+
+        _log("no reference baseline cached; measuring (builds the "
+             "reference binary on first use — minutes)")
+        tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "bench_reference.py")
+        try:
+            subprocess.run([sys.executable, tool], check=True, timeout=3600)
+        except Exception as e:  # no toolchain / build failure: fall back
+            _log(f"reference baseline unavailable: {e}")
+            return None
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except OSError:
+        return None
+
+
 def main():
     import jax
 
@@ -92,6 +121,7 @@ def main():
 
     from bwameme_tpu.seeding.engine import DeviceSeedingEngine
     from bwameme_tpu.seeding.host_engine import HostSeedingEngine
+    from bwameme_tpu.utils import fallbacks
     from bwameme_tpu.utils.config import MemOptions
 
     _log("loading index")
@@ -105,39 +135,52 @@ def main():
     _log("engine ready; warmup")
     # warmup/compile: run the first full-size batch once (same shapes as
     # production so nothing recompiles during the timed run)
-    import time as _t
-    _t0 = _t.time()
-    if eng.sorted_smems_batch_flat(reads[:BATCH]) is None:
-        eng.collect_smems_batch(reads[:BATCH])
-    print(f"# warmup+compile: {_t.time()-_t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    flat = eng.sorted_smems_batch_flat(reads[:BATCH])
+    if flat is None:
+        print(json.dumps({"metric": "seeding_throughput", "value": 0,
+                          "unit": "reads/s/chip", "vs_baseline": 0,
+                          "error": "fused seeding path unavailable"}))
+        sys.exit(1)
+    print(f"# warmup+compile: {time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
     n_smems = 0
     for i in range(0, len(reads), BATCH):
         flat = eng.sorted_smems_batch_flat(reads[i: i + BATCH])
-        if flat is not None:  # the production path: packed device compaction
-            n_smems += len(flat.start)
-        else:
-            out = eng.collect_smems_batch(reads[i: i + BATCH])
-            n_smems += sum(len(s) for s in out)
+        n_smems += len(flat.start)
     dt = time.time() - t0
     device_rps = len(reads) / dt
     print(f"# device seeding: {len(reads)} reads in {dt:.2f}s "
           f"({device_rps:.0f} reads/s), {n_smems} smems", file=sys.stderr)
 
-    # host scalar oracle baseline on a subsample
-    host = HostSeedingEngine(idx, opt)
-    sub = reads[:: max(1, len(reads) // 128)][:128]
-    t0 = time.time()
-    for c in sub:
-        host.collect_smems(c)
-    host_rps = len(sub) / (time.time() - t0)
-    print(f"# host oracle: {host_rps:.0f} reads/s", file=sys.stderr)
+    if fallbacks.total():
+        print(f"# FAIL: fused paths fell back: {fallbacks.summary()}",
+              file=sys.stderr)
+        sys.exit(1)
+
+    ref = reference_baseline()
+    if ref and ref.get("seeding_rps"):
+        base_rps = float(ref["seeding_rps"])
+        note = (f"reference bwa-meme on {ref.get('host_cpus')} host CPU(s), "
+                f"{ref['seeding_rps']} reads/s seeding "
+                f"({ref.get('e2e_rps')} e2e)")
+    else:
+        # degraded: repo's own scalar host oracle on a subsample
+        host = HostSeedingEngine(idx, opt)
+        sub = reads[:: max(1, len(reads) // 128)][:128]
+        t0 = time.time()
+        for c in sub:
+            host.collect_smems(c)
+        base_rps = len(sub) / (time.time() - t0)
+        note = f"host python oracle {base_rps:.0f} reads/s (reference binary unavailable)"
+    _log(f"baseline: {note}")
 
     print(json.dumps({
         "metric": "seeding_throughput",
         "value": round(device_rps, 1),
         "unit": "reads/s/chip",
-        "vs_baseline": round(device_rps / max(host_rps, 1e-9), 2),
+        "vs_baseline": round(device_rps / max(base_rps, 1e-9), 2),
+        "baseline": note,
     }))
 
 

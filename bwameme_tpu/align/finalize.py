@@ -73,8 +73,11 @@ def gen_cigar(opt, bns, text: np.ndarray, w: int, query_seg: np.ndarray,
         cigar = [(0, l_query)]
         score = int(opt.mat[rseq[:l_query], q[:l_query]].sum(dtype=np.int64))
     else:
-        max_ins = int((((l_query + 1) >> 1) * opt.mat[0, 0] - opt.o_ins) / opt.e_ins + 1.0)
-        max_del = int((((l_query + 1) >> 1) * opt.mat[0, 0] - opt.o_del) / opt.e_del + 1.0)
+        # int(mat[0,0]): the scoring matrix is int8 and NumPy-2 promotion
+        # would wrap ((l_query+1)>>1)*int8 for reads >~250bp
+        a = int(opt.mat[0, 0])
+        max_ins = int((((l_query + 1) >> 1) * a - opt.o_ins) / opt.e_ins + 1.0)
+        max_del = int((((l_query + 1) >> 1) * a - opt.o_del) / opt.e_del + 1.0)
         max_gap = max(max_ins, max_del, 1)
         ww = (max_gap + abs(rlen - l_query) + 1) >> 1
         ww = min(ww, w)

@@ -144,13 +144,15 @@ def cmd_index(args) -> int:
     print(f"[index] saved to {prefix}.meme.npz (+ .pac/.ann/.amb)",
           file=sys.stderr)
     if args.algo in ("mem2", "all"):
-        from bwameme_tpu.index.fmindex import build_fm_index, save_fm_index
+        from bwameme_tpu.index.fmindex import (build_fm_index, save_fm_index,
+                                               write_bwt_2bit_64)
 
         t0 = time.time()
         fm = build_fm_index(idx.bns.code)
         save_fm_index(prefix, fm)
+        write_bwt_2bit_64(fm, prefix)
         print(f"[index] FM-index built in {time.time()-t0:.1f}s -> "
-              f"{prefix}.fmi.npz", file=sys.stderr)
+              f"{prefix}.fmi.npz + {prefix}.bwt.2bit.64", file=sys.stderr)
     if args.algo in ("ert", "all"):
         import numpy as np
 
@@ -330,6 +332,11 @@ def cmd_mem(args) -> int:
             from bwameme_tpu.index.fmindex import load_fm_index
 
             fm = load_fm_index(args.prefix)
+        elif os.path.exists(args.prefix + ".bwt.2bit.64"):
+            # a reference-built FM index loads directly (VERDICT #5)
+            from bwameme_tpu.index.fmindex import read_bwt_2bit_64
+
+            fm = read_bwt_2bit_64(args.prefix)
         if args.engine == "device":
             engine = FmiDeviceEngine(idx, opt, fm=fm)
         else:

@@ -36,6 +36,7 @@ CP_SHIFT = 6                    # 64-base occ checkpoint blocks
 CP_BLOCK = 1 << CP_SHIFT
 SA_COMPX = 3                    # keep every 8th SA entry in compressed mode
 SA_COMPX_MASK = (1 << SA_COMPX) - 1
+CP_FILENAME_SUFFIX = ".bwt.2bit.64"
 
 
 @dataclasses.dataclass
@@ -128,6 +129,115 @@ def build_fm_index(code: np.ndarray) -> FmIndex:
         n=n, count=count, sentinel_index=sent, bwt=bwt,
         cp_count=cp_count, cp_bits=cp_bits, sa=sa,
         sa_ms_byte=sa_ms_byte, sa_ls_word=sa_ls_word, occ_ranks=occ_ranks,
+    )
+
+
+def write_bwt_2bit_64(fm: FmIndex, prefix: str) -> None:
+    """Write the reference's ``.bwt.2bit.64`` FM-index file, byte-compatible
+    with FMI_search::build_fm_index (reference: src/FMI_search.cpp:140-300):
+
+      int64 ref_seq_len (= n+1, text+RC+sentinel)
+      int64 count[5]    (cumulative char starts WITHOUT the +1 the loader adds)
+      CP_OCC[(len>>6)+1]: {int64 cp_count[4]; uint64 one_hot[4]} per 64-base
+                          block, one-hot MSB-first
+      int8  sa_ms_byte[(len>>3)+1]; uint32 sa_ls_word[...]  (every 8th rank)
+      int64 sentinel_index
+    """
+    n1 = fm.n + 1
+    nb_file = (n1 >> CP_SHIFT) + 1
+    with open(prefix + CP_FILENAME_SUFFIX, "wb") as f:
+        np.int64(n1).tofile(f)
+        (fm.count.astype(np.int64) - 1).tofile(f)
+
+        cp = np.zeros((nb_file, 8), dtype=np.uint64)
+        nb = fm.cp_count.shape[0]
+        cp[:nb, :4] = fm.cp_count.astype(np.int64).view(np.uint64)
+        # one_hot uint64 = (word0 << 32) | word1  (word0 = first 32 bases)
+        bits = fm.cp_bits.astype(np.uint64)
+        cp[:nb, 4:] = (bits[:, :, 0] << np.uint64(32)) | bits[:, :, 1]
+        cp.tofile(f)
+
+        n_comp = (n1 >> SA_COMPX) + 1
+        ms = np.zeros(n_comp, dtype=np.int8)
+        ls = np.zeros(n_comp, dtype=np.uint32)
+        ms[: len(fm.sa_ms_byte)] = fm.sa_ms_byte
+        ls[: len(fm.sa_ls_word)] = fm.sa_ls_word
+        ms.tofile(f)
+        ls.tofile(f)
+        np.int64(fm.sentinel_index).tofile(f)
+
+
+def read_bwt_2bit_64(prefix: str) -> FmIndex:
+    """Load a reference-built ``.bwt.2bit.64`` (FMI_search::load_index,
+    src/FMI_search.cpp:392-470) and reconstruct the full FmIndex.
+
+    The file stores only the 1/8-compressed SA; the full per-rank position
+    table is regenerated with SA_COMPX vectorized LF-steps over all ranks
+    at once (the batched analog of get_sa_entry_compressed's walk)."""
+    with open(prefix + CP_FILENAME_SUFFIX, "rb") as f:
+        n1 = int(np.fromfile(f, np.int64, 1)[0])
+        count = np.fromfile(f, np.int64, 5) + 1
+        nb_file = (n1 >> CP_SHIFT) + 1
+        cp = np.fromfile(f, np.uint64, nb_file * 8).reshape(nb_file, 8)
+        n_comp = (n1 >> SA_COMPX) + 1
+        sa_ms_byte = np.fromfile(f, np.int8, n_comp)
+        sa_ls_word = np.fromfile(f, np.uint32, n_comp)
+        sentinel = int(np.fromfile(f, np.int64, 1)[0])
+    n = n1 - 1
+    nb = (n1 + CP_BLOCK - 1) // CP_BLOCK
+    cp_count = cp[:nb, :4].view(np.int64).copy()
+    onehot64 = cp[:nb, 4:]
+    cp_bits = np.empty((nb, 4, 2), dtype=np.uint32)
+    cp_bits[:, :, 0] = (onehot64 >> np.uint64(32)).astype(np.uint32)
+    cp_bits[:, :, 1] = (onehot64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+    # bwt chars back from the one-hot bitmaps
+    shifts = np.uint64(63) - np.arange(64, dtype=np.uint64)
+    planes = ((onehot64[:, :, None] >> shifts[None, None, :])
+              & np.uint64(1)).astype(np.uint8)          # [nb, 4, 64]
+    bwt_full = np.full(nb * CP_BLOCK, 4, dtype=np.uint8)
+    for b in range(4):
+        bwt_full[np.flatnonzero(planes[:, b, :].reshape(-1))] = b
+    bwt = bwt_full[:n1].copy()
+    bwt[sentinel] = 4
+
+    # full SA by SA_COMPX_MASK batched LF-steps: ranks with a stored entry
+    # resolve immediately; others step to LF(rank) and add 1
+    occ_ranks = [np.flatnonzero(bwt == b).astype(np.int64) for b in range(4)]
+    sa = np.zeros(n1, dtype=np.int64)
+    rank = np.arange(n1, dtype=np.int64)
+    offset = np.zeros(n1, dtype=np.int64)
+    done = np.zeros(n1, dtype=bool)
+    # LF lands on ~uniform ranks, so each step resolves ~1/8 of the
+    # remainder (geometric, ~8 expected iterations); a walk is hard-bounded
+    # by text length (it reaches the sentinel at position 0)
+    for _ in range(n1 + 2):
+        newly = np.flatnonzero(~done & ((rank & SA_COMPX_MASK) == 0))
+        if len(newly):
+            ri = rank[newly] >> SA_COMPX
+            sa[newly] = (((sa_ms_byte[ri].astype(np.int64) & 0xFF) << 32)
+                         | sa_ls_word[ri]) + offset[newly]
+            done[newly] = True
+        todo = np.flatnonzero(~done)
+        if not len(todo):
+            break
+        r = rank[todo]
+        b = bwt[r]
+        sent = todo[b == 4]          # sentinel: position = steps walked
+        sa[sent] = offset[sent]
+        done[sent] = True
+        for c in range(4):
+            sel = todo[b == c]       # LF step: rank' = count[c] + occ(c, r)
+            rank[sel] = count[c] + np.searchsorted(occ_ranks[c], rank[sel])
+        offset[todo] += 1
+    assert done.all()
+
+    return FmIndex(
+        n=n, count=count, sentinel_index=sentinel, bwt=bwt,
+        cp_count=cp_count, cp_bits=cp_bits, sa=sa,
+        sa_ms_byte=sa_ms_byte[: ((n1 - 1) >> SA_COMPX) + 1],
+        sa_ls_word=sa_ls_word[: ((n1 - 1) >> SA_COMPX) + 1],
+        occ_ranks=occ_ranks,
     )
 
 

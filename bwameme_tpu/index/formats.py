@@ -90,10 +90,15 @@ def write_ref2sa_packed(idx, prefix: str) -> None:
 
 
 def export_reference_formats(idx, prefix: str, full: bool = False) -> None:
-    """Write the reference-compatible index files next to `prefix`."""
+    """Write the reference-compatible index files next to `prefix`,
+    including the P-RMI ``_L{0,1,2}_PARAMETERS`` (so the reference
+    binary's `mem -7` path runs on our index with no Rust trainer)."""
+    from bwameme_tpu.models.prmi import write_rmi_parameters
+
     write_0123(idx, prefix)
     write_pos_packed(idx, prefix)
     write_suffixarray_uint64(idx, prefix)
+    write_rmi_parameters(idx, prefix)
     if full:
         write_possa_packed(idx, prefix)
         if idx.isa is not None:
@@ -102,12 +107,19 @@ def export_reference_formats(idx, prefix: str, full: bool = False) -> None:
 
 def import_reference_index(prefix: str, train_bits: int | None = None):
     """Build a MemeIndex from reference-produced files
-    (.pac/.ann/.amb + .0123 + .pos_packed [+ .suffixarray_uint64]),
-    retraining the P-RMI in JAX (replacing the Rust trainer)."""
+    (.pac/.ann/.amb + .0123 + .pos_packed [+ .suffixarray_uint64]).
+
+    When the reference's trained ``_L{1,2}_PARAMETERS`` model files are
+    present, the trained P-RMI is imported directly (apply_rmi_parameters
+    — no retrain); otherwise the P-RMI is trained fresh in JAX/numpy
+    (replacing the Rust trainer)."""
+    import os
+
     from bwameme_tpu.index import bntseq as bnsmod
     from bwameme_tpu.index.build import MemeIndex, build_text
     from bwameme_tpu.index.packing import extract_key64, pack_words
-    from bwameme_tpu.models.prmi import train_prmi
+    from bwameme_tpu.models.prmi import (apply_rmi_parameters,
+                                         read_rmi_parameters, train_prmi)
 
     bns = bnsmod.restore(prefix)
     text, pad = build_text(bns.code)
@@ -124,6 +136,9 @@ def import_reference_index(prefix: str, train_bits: int | None = None):
     ])
     idx = MemeIndex(bns=bns, text=text, text32=text32, sa=sa,
                     key_hi=key_hi, key_lo=key_lo, isa=isa, pad_len=pad)
+    if os.path.exists(prefix + ".suffixarray_uint64_L2_PARAMETERS"):
+        apply_rmi_parameters(idx, read_rmi_parameters(prefix))
+        return idx
     if train_bits is None:
         train_bits = max(8, min(28, int(np.ceil(np.log2(max(len(sa), 2)))) - 3))
     train_prmi(idx, train_bits)

@@ -65,7 +65,14 @@ class DeviceIndex:
     kmer_bits: int = 0
 
     @staticmethod
-    def from_host(idx, ert_bits: int | None = None) -> "DeviceIndex":
+    def from_host(idx, ert_bits: int | None = None, mesh=None,
+                  shard_axis: str = "idx") -> "DeviceIndex":
+        """Upload the index. With `mesh`, the two big per-suffix planes
+        (sa positions, text-position keys) are SHARDED along `shard_axis`
+        by equal blocks (block sharding of rank/position order), padded to
+        the shard count; everything else — packed text, P-RMI parameters,
+        k-mer root — is replicated, the analog of the reference keeping
+        the pac resident per process (SURVEY.md §5 scale-out design)."""
         kmer_table = None
         kmer_bits = 0
         if ert_bits is not None:
@@ -73,32 +80,70 @@ class DeviceIndex:
 
             kmer_bits = ert_bits if ert_bits > 0 else pick_ert_bits(idx.n_sa)
             kmer_table = jnp.asarray(build_kmer_table(idx.key_hi, kmer_bits))
+        n_shards = 1
+        put_shard = put_repl = jnp.asarray
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            n_shards = int(mesh.shape[shard_axis])
+            sh = NamedSharding(mesh, PartitionSpec(shard_axis))
+            rp = NamedSharding(mesh, PartitionSpec())
+
+            def put_shard(a):
+                a = np.asarray(a)
+                pad = (-a.shape[0]) % n_shards
+                if pad:
+                    # pad ranks/positions past n_sa: every access masks by
+                    # the true n_sa, so pad content never escapes
+                    fill = np.zeros((pad, *a.shape[1:]), a.dtype)
+                    a = np.concatenate([a, fill])
+                return jax.device_put(a, sh)
+
+            def put_repl(a):
+                return jax.device_put(np.asarray(a), rp)
         if idx.isa is not None:
             kt = np.empty((len(idx.sa), 2), np.uint32)
             kt[:, 0] = idx.key_hi[idx.isa]
             kt[:, 1] = idx.key_lo[idx.isa]
-            ktext = jnp.asarray(kt)
+            ktext = put_shard(kt)
             key2 = None
         else:
             ktext = None
-            key2 = jnp.asarray(
-                np.stack([idx.key_hi, idx.key_lo], axis=1), dtype=jnp.uint32)
+            key2 = put_shard(
+                np.stack([idx.key_hi, idx.key_lo], axis=1).astype(np.uint32))
         return DeviceIndex(
-            text32=jnp.asarray(idx.text32, dtype=jnp.uint32),
-            sa=jnp.asarray(idx.sa, dtype=jnp.int32),
+            text32=put_repl(np.asarray(idx.text32, dtype=np.uint32)),
+            sa=put_shard(np.asarray(idx.sa, dtype=np.int32)),
             key2=key2,
             ktext=ktext,
-            leaf_start=jnp.asarray(idx.rmi_leaf_start, dtype=jnp.int32),
-            alpha=jnp.asarray(idx.rmi_alpha),
-            beta=jnp.asarray(idx.rmi_beta),
-            err_lo=jnp.asarray(idx.rmi_err_lo, dtype=jnp.int32),
-            err_hi=jnp.asarray(idx.rmi_err_hi, dtype=jnp.int32),
+            leaf_start=put_repl(np.asarray(idx.rmi_leaf_start, np.int32)),
+            alpha=put_repl(idx.rmi_alpha),
+            beta=put_repl(idx.rmi_beta),
+            err_lo=put_repl(np.asarray(idx.rmi_err_lo, np.int32)),
+            err_hi=put_repl(np.asarray(idx.rmi_err_hi, np.int32)),
             bits=int(idx.rmi_bits),
             n_sa=int(idx.n_sa),
             isa=None,  # kernels chain through ktext; the ISA itself never
             #            needs to be HBM-resident on a single chip
-            kmer_table=kmer_table,
+            kmer_table=(put_repl(kmer_table) if kmer_table is not None
+                        else None),
             kmer_bits=kmer_bits,
+        )
+
+    def partition_specs(self, shard_axis: str = "idx"):
+        """The DeviceIndex-shaped PartitionSpec tree matching from_host's
+        placement (for shard_map in_specs)."""
+        from jax.sharding import PartitionSpec as P
+
+        return DeviceIndex(
+            text32=P(), sa=P(shard_axis),
+            key2=None if self.key2 is None else P(shard_axis),
+            ktext=None if self.ktext is None else P(shard_axis),
+            leaf_start=P(), alpha=P(), beta=P(), err_lo=P(), err_hi=P(),
+            bits=self.bits, n_sa=self.n_sa,
+            isa=None if self.isa is None else P(shard_axis),
+            kmer_table=None if self.kmer_table is None else P(),
+            kmer_bits=self.kmer_bits,
         )
 
 def _di_flatten(di):
@@ -221,7 +266,7 @@ def compare_keys(khi, klo, skhi, sklo, v, need_lcp=True):
 
 
 def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
-                    root: str = "prmi"):
+                    root: str = "prmi", mesh=None, shard_axis: str = "idx"):
     """Build jitted search primitives for a device index.
 
     Every public fn takes the DeviceIndex (a pytree of device arrays) as its
@@ -265,7 +310,63 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
 
     def build(d: DeviceIndex):
         """Raw (unjitted) search primitives over traced index arrays; use
-        inside larger jitted programs (the engine's fused kernels)."""
+        inside larger jitted programs (the engine's fused kernels).
+
+        With `mesh`, the body must run INSIDE jax.shard_map over the mesh:
+        `d.sa`/`d.ktext`/`d.key2` arrive as per-shard blocks (rank/position
+        block sharding along `shard_axis`) and every gather is answered by
+        the owning shard and combined with one psum — non-owners contribute
+        zero. All shards run identical control flow, so outputs are
+        replicated (SURVEY.md §5 distributed backend: index sharded by key
+        range, hits combined with collectives over ICI)."""
+
+        if mesh is not None:
+            ax = shard_axis
+
+            def _owned(arr, g):
+                """Owner's row of a block-sharded plane for global index g
+                (g must be pre-clipped to [0, N_pad))."""
+                B = arr.shape[0]
+                start = (jax.lax.axis_index(ax) * B).astype(jnp.int32)
+                loc = g - start
+                mine = (loc >= 0) & (loc < B)
+                v = jnp.take(arr, jnp.clip(loc, 0, B - 1), axis=0,
+                             mode="clip")
+                if v.ndim > mine.ndim:
+                    mine = mine[..., None]
+                return jax.lax.psum(jnp.where(mine, v, jnp.zeros_like(v)),
+                                    ax)
+
+            def sa_at(rank):
+                return _owned(d.sa, jnp.clip(rank, 0, n_sa - 1))
+
+            def key2_at(rank):
+                g = _owned(d.key2, jnp.clip(rank, 0, n_sa - 1))
+                return g[..., 0], g[..., 1]
+
+            def ktext_at(pos):
+                in_range = pos < n_sa
+                g = _owned(d.ktext, jnp.clip(pos, 0, n_sa - 1))
+                skhi = jnp.where(in_range, g[..., 0], FULL)
+                sklo = jnp.where(in_range, g[..., 1], FULL)
+                return skhi, sklo
+        else:
+            def sa_at(rank):
+                return jnp.take(d.sa, jnp.clip(rank, 0, n_sa - 1),
+                                mode="clip")
+
+            def key2_at(rank):
+                g = jnp.take(d.key2, jnp.clip(rank, 0, n_sa - 1), axis=0,
+                             mode="clip")
+                return g[..., 0], g[..., 1]
+
+            def ktext_at(pos):
+                in_range = pos < n_sa
+                g = jnp.take(d.ktext, jnp.clip(pos, 0, n_sa - 1), axis=0,
+                             mode="clip")
+                skhi = jnp.where(in_range, g[..., 0], FULL)
+                sklo = jnp.where(in_range, g[..., 1], FULL)
+                return skhi, sklo
 
         def kmer_window(khi, klo):
             m = (khi >> jnp.uint32(32 - 2 * kmer_bits)).astype(jnp.int32)
@@ -295,7 +396,7 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
         def deep_cmp(qbuf32, row, pivot, v, sa_idx, base_lcp, base_less,
                      resolved):
             """Continue comparison beyond 32 bases, 16-base text chunks."""
-            tpos = jnp.take(d.sa, jnp.clip(sa_idx, 0, n_sa - 1), mode="clip")
+            tpos = sa_at(sa_idx)
 
             def cond(st):
                 step, resolved, less, lcp = st
@@ -323,33 +424,21 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             )
             return less, lcp
 
-        def _key2_at(rank):
-            """(key_hi, key_lo) of a suffix rank in ONE 8-byte gather
-            (deep-fallback path only — flat compares use ktext)."""
-            g = jnp.take(d.key2, jnp.clip(rank, 0, n_sa - 1), axis=0,
-                         mode="clip")
-            return g[..., 0], g[..., 1]
-
-        def _ktext_at(pos):
-            """32-base key of the suffix starting at text position pos in
-            ONE 8-byte gather (all-T beyond the kept range)."""
-            in_range = pos < n_sa
-            g = jnp.take(d.ktext, jnp.clip(pos, 0, n_sa - 1), axis=0,
-                         mode="clip")
-            skhi = jnp.where(in_range, g[..., 0], FULL)
-            sklo = jnp.where(in_range, g[..., 1], FULL)
-            return skhi, sklo
+        # (key_hi, key_lo) of a suffix rank in ONE 8-byte gather (deep
+        # fallback path) / 32-base key of the suffix at a text position
+        # (flat path) — both shard-aware via the accessors above
+        _key2_at = key2_at
+        _ktext_at = ktext_at
 
         def suffix_cmp_flat(qbuf32, row, pivot, v, sa_idx):
             """(less, lcp) of suffix sa[sa_idx] vs pattern — no loops:
             statically unrolled 32-base segments, every segment's key ONE
             independent text-position gather from ktext (chain depth 2:
             sa -> ktext)."""
-            idx = jnp.clip(sa_idx, 0, n_sa - 1)
-            sa_pos = jnp.take(d.sa, idx, mode="clip")
-            less = jnp.zeros(jnp.shape(idx), jnp.bool_)
-            lcp = jnp.zeros(jnp.shape(idx), jnp.int32)
-            resolved = jnp.zeros(jnp.shape(idx), jnp.bool_)
+            sa_pos = sa_at(sa_idx)
+            less = jnp.zeros(jnp.shape(sa_idx), jnp.bool_)
+            lcp = jnp.zeros(jnp.shape(sa_idx), jnp.int32)
+            resolved = jnp.zeros(jnp.shape(sa_idx), jnp.bool_)
             for k in range(n_segs):
                 off = 32 * k
                 khi, klo = extract_pattern_words(qbuf32, row, pivot + off)
@@ -524,14 +613,43 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
         )
 
     public = {}
-    for _name in ("rmi_window", "suffix_cmp", "find_longest", "interval_at",
-                  "lcp_at", "sa_query", "sa_query_min1"):
-        def _mk(nm):
-            @jax.jit
-            def f(d, *args):
-                return build(d)[nm](*args)
-            f.__name__ = nm
-            return f
-        public[_name] = _mk(_name)
+    if mesh is None:
+        for _name in ("rmi_window", "suffix_cmp", "find_longest",
+                      "interval_at", "lcp_at", "sa_query", "sa_query_min1"):
+            def _mk(nm):
+                @jax.jit
+                def f(d, *args):
+                    return build(d)[nm](*args)
+                f.__name__ = nm
+                return f
+            public[_name] = _mk(_name)
+    else:
+        # multi-device: each public fn is one shard_map'ed program — index
+        # planes per-shard, queries replicated, outputs replicated (every
+        # shard computes identical results from the psum-combined gathers)
+        for _name, _nargs in (("rmi_window", 2), ("suffix_cmp", 5),
+                              ("find_longest", 4), ("interval_at", 4),
+                              ("lcp_at", 5), ("sa_query", 5),
+                              ("sa_query_min1", 4)):
+            public[_name] = shard_wrap(
+                lambda d, *args, _nm=_name: build(d)[_nm](*args),
+                di=di, mesh=mesh, shard_axis=shard_axis, n_args=_nargs)
     public["raw"] = build
     return public
+
+
+def shard_wrap(fn, di: DeviceIndex, mesh, shard_axis: str, n_args: int):
+    """jit(shard_map(fn)) with the DeviceIndex as first argument (planes
+    per-shard) and `n_args` replicated array arguments; outputs replicated.
+    check is disabled: the replication of psum-combined results is by
+    construction, not inferable."""
+    from jax.sharding import PartitionSpec as P
+
+    di_spec = di.partition_specs(shard_axis)
+    smapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(di_spec, *([P()] * n_args)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(smapped)

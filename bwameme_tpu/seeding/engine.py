@@ -36,14 +36,25 @@ RIGHT_Z = 3  # right search in the zigzag (emits)
 class DeviceSeedingEngine:
     def __init__(self, idx, opt, max_read_len: int = 160,
                  lanes: int = 1024, root: str = "prmi",
-                 ert_bits: int = 0) -> None:
+                 ert_bits: int = 0, mesh=None,
+                 index_axis: str = "idx") -> None:
         """root="prmi" (learned index, the -7 path) or "kmer" (the ERT
-        backend: direct k-mer-root window, see index/ert.py)."""
+        backend: direct k-mer-root window, see index/ert.py).
+
+        mesh: a jax.sharding.Mesh scales the engine out — the big
+        per-suffix planes are sharded along `index_axis` (key-range
+        sharding) and every device program runs shard_map'ed with
+        psum-combined gathers; queries are replicated over the mesh and
+        results are identical to the single-device engine (SURVEY.md §5
+        distributed backend)."""
         self.idx = idx
         self.opt = opt
         self.root = root
+        self.mesh = mesh
+        self.index_axis = index_axis
         self.di = DeviceIndex.from_host(
-            idx, ert_bits=(ert_bits if root == "kmer" else None))
+            idx, ert_bits=(ert_bits if root == "kmer" else None),
+            mesh=mesh, shard_axis=index_axis)
         # fixed lane count -> exactly one compilation per query kernel
         # (shrinking active sets run with inert lanes; gathers are cheap)
         self.lanes = lanes
@@ -97,7 +108,8 @@ class DeviceSeedingEngine:
         tier = self._tiers.get(bucket)
         if tier is None:
             self.fns = make_search_fns(
-                self.di, max_read_words=-(-bucket // 16), root=self.root)
+                self.di, max_read_words=-(-bucket // 16), root=self.root,
+                mesh=self.mesh, shard_axis=self.index_axis)
             tier = (self.fns, self._build_third_round(),
                     self._build_fused_step1(), self._build_fused_step2b(),
                     self._build_fused_step3())
@@ -105,6 +117,42 @@ class DeviceSeedingEngine:
         (self.fns, self._tr, self._fused_step1, self._fused_step2,
          self._fused_step3) = tier
         self.max_read_len = bucket
+
+    def _select_tier(self, batch_maxlen: int) -> None:
+        """Best-fit tier for a batch: short batches must not pay a long
+        bucket's probe depth, so this downshifts as well as upshifts
+        (tiers are cached after their first build)."""
+        for b in self.len_buckets:
+            if batch_maxlen <= b:
+                if b != self.max_read_len:
+                    self._activate_tier(batch_maxlen)
+                return
+        self._activate_tier(batch_maxlen)  # raises the clean ceiling error
+
+    def _jit(self, fn, static_argnames=()):
+        """jit a device program whose FIRST argument is the DeviceIndex.
+        Single-device: plain jax.jit. Mesh: jit(shard_map(...)) — index
+        planes per-shard, all other args replicated, outputs replicated —
+        memoized per (n_args, static kwargs) so program caching matches
+        plain jit's static_argnames behavior."""
+        if self.mesh is None:
+            return jax.jit(fn, static_argnames=static_argnames)
+        from bwameme_tpu.ops.sa_search import shard_wrap
+
+        cache = {}
+
+        def call(di, *args, **kw):
+            key = (len(args), tuple(sorted(kw.items())))
+            f = cache.get(key)
+            if f is None:
+                f = shard_wrap(
+                    lambda d, *a, _kw=dict(kw): fn(d, *a, **_kw), di=di,
+                    mesh=self.mesh, shard_axis=self.index_axis,
+                    n_args=len(args))
+                cache[key] = f
+            return f(di, *args)
+
+        return call
 
     # ---------------------------------------------------------------- pack
     def _build_pack(self):
@@ -253,8 +301,7 @@ class DeviceSeedingEngine:
     def _prepare(self, codes_list: list[np.ndarray]):
         R = len(codes_list)
         mat, rcm, lens, maxlen = self._batch_matrix(codes_list)
-        if maxlen > self.max_read_len:
-            self._activate_tier(maxlen)
+        self._select_tier(maxlen)
         W = (maxlen + 15) // 16 + 3  # +guard words (all T)
         # pack both strand matrices in one vectorized pass
         safe_f = np.where(mat >= 4, 0, mat).astype(np.uint8)
@@ -375,8 +422,7 @@ class DeviceSeedingEngine:
         M = self.max_smems
         M2 = 16
         mat, _rcm, lens_np, maxlen = self._batch_matrix(codes_list)
-        if maxlen > self.max_read_len:
-            self._activate_tier(maxlen)
+        self._select_tier(maxlen)
         lens = jnp.asarray(lens_np.astype(np.int32))
         qbuf, nf, nr, nvf = self._prep_dev(jnp.asarray(mat), lens)
         d1 = self._fused_step1(
@@ -853,8 +899,8 @@ class DeviceSeedingEngine:
                     jnp.stack([st["starts"], st["ends"], st["lbs"],
                                st["cnts"]]))
 
-        jb = jax.jit(begin, static_argnames=("M1", "M2", "cap1"))
-        jc = jax.jit(continue_at, static_argnames=("M1", "Rc"))
+        jb = self._jit(begin, static_argnames=("M1", "M2", "cap1"))
+        jc = self._jit(continue_at, static_argnames=("M1", "Rc"))
 
         def fused(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
                   split_len, split_width, minseed, M1, M2):
@@ -1047,8 +1093,8 @@ class DeviceSeedingEngine:
                     jnp.stack([st["starts"], st["ends"], st["lbs"],
                                st["cnts"]]))
 
-        jb = jax.jit(begin, static_argnames=("M", "cap1"))
-        jc = jax.jit(continue_at, static_argnames=("Rc",))
+        jb = self._jit(begin, static_argnames=("M", "cap1"))
+        jc = self._jit(continue_at, static_argnames=("Rc",))
 
         def fused(di, qbuf, nf, nr, nvf, lens, minseed, M):
             cap1 = int(getattr(self, "step1_cap1", 30))
@@ -1137,7 +1183,7 @@ class DeviceSeedingEngine:
             return (jnp.stack([st["starts"], st["ends"], st["lbs"],
                                st["cnts"]]), st["nsm"])
 
-        return jax.jit(fused, static_argnames=("M",))
+        return self._jit(fused, static_argnames=("M",))
 
     # ------------------------------------------------------------- round 3
     def _build_third_round(self):
@@ -1208,7 +1254,7 @@ class DeviceSeedingEngine:
             return third_round_core(raw(di), qbuf32, row, pivot, v, min_intv,
                                     min_seed)
 
-        return jax.jit(third_round)
+        return self._jit(third_round)
 
     def _third_round_batch(self, qbuf, codes_list, next_f, smems) -> None:
         opt = self.opt

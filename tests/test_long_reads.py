@@ -57,14 +57,14 @@ def test_tier_parity(setup, length):
         assert hs == ds, (length, ri)
 
 
-def test_tier_upshift_is_sticky_per_batch(setup):
+def test_tier_best_fit_per_batch(setup):
     _, dev_eng, idx, rng = setup
     dev_eng.sorted_smems_batch(_sample(idx, rng, 180, k=2))
     assert dev_eng.max_read_len == 224
     dev_eng.sorted_smems_batch(_sample(idx, rng, 450, k=2))
     assert dev_eng.max_read_len == 512
-    # tiers are cached: re-activating a smaller tier is instant and exact
-    dev_eng._activate_tier(151)
+    # downshift: a short batch after a long one returns to its own bucket
+    dev_eng.sorted_smems_batch(_sample(idx, rng, 151, k=2))
     assert dev_eng.max_read_len == 160
     assert set(dev_eng._tiers) >= {160, 224, 512}
 

@@ -53,11 +53,14 @@ _ENV = {**os.environ, "BWAMEME_PLATFORM": "cpu",
 import numpy as np
 import pytest
 
-REF_BIN = os.environ.get("BWAMEME_REF_BIN")
+_DEFAULT_REF_BIN = "/tmp/refbuild/bwa-meme"  # tools/build_reference.sh
+REF_BIN = os.environ.get("BWAMEME_REF_BIN") or (
+    _DEFAULT_REF_BIN if os.path.exists(_DEFAULT_REF_BIN) else None)
 
 pytestmark = pytest.mark.skipif(
     not (REF_BIN and os.path.exists(REF_BIN)),
-    reason="set BWAMEME_REF_BIN to the reference bwa-meme binary",
+    reason="reference binary not found (run tools/build_reference.sh or "
+           "set BWAMEME_REF_BIN)",
 )
 
 
@@ -120,6 +123,30 @@ def workdir(tmp_path_factory):
 
 def _records(sam_text: str) -> list[str]:
     return [ln for ln in sam_text.splitlines() if not ln.startswith("@")]
+
+
+def test_reference_runs_meme_on_our_exported_index(workdir):
+    """Index interchange, consumer-validated: the REFERENCE binary's
+    learned path (`mem -7`) runs on OUR emitted `.pos_packed` +
+    `_L{0,1,2}_PARAMETERS` (write_rmi_parameters — the Rust trainer is
+    not involved) and produces SAM identical to its own FM-index path."""
+    d = workdir
+    from bwameme_tpu.index.build import load_index
+    from bwameme_tpu.index.formats import export_reference_formats
+
+    idx = load_index(str(d / "ours"))
+    export_reference_formats(idx, str(d / "ref.fa"))
+    meme = subprocess.run(
+        [REF_BIN, "mem", "-7", "-Y", "-K", "100000000", "-t", "1",
+         str(d / "ref.fa"), str(d / "reads.fq")],
+        check=True, capture_output=True, text=True,
+    )
+    fmi = subprocess.run(
+        [REF_BIN, "mem", "-Y", "-K", "100000000", "-t", "1",
+         str(d / "ref.fa"), str(d / "reads.fq")],
+        check=True, capture_output=True, text=True,
+    )
+    assert _records(meme.stdout) == _records(fmi.stdout)
 
 
 def test_se_sam_identical(workdir):
