@@ -126,6 +126,15 @@ def build_parser() -> argparse.ArgumentParser:
                     "ERT (k-mer-root, the -Z path)")
     pm.add_argument("--batch", type=int, default=2048,
                     help="reads per device batch")
+    pm.add_argument("--profile", dest="profile_dir", default=None,
+                    metavar="DIR",
+                    help="capture a jax.profiler trace of the run into DIR "
+                    "(view with xprof/tensorboard)")
+    pm.add_argument("--mode", type=int, choices=[1, 2, 3], default=None,
+                    help="HBM memory tier (reference MODE axis, "
+                    "README.md:151-156): 3=positions+ktext (fastest), "
+                    "2=positions+rank keys, 1=positions only (smallest); "
+                    "default auto")
     return p
 
 
@@ -321,7 +330,7 @@ def cmd_mem(args) -> int:
             with np.load(args.prefix + ".ert.npz") as z:
                 ert_bits = int(z["kmer_bits"])
         engine = DeviceSeedingEngine(idx, opt, root="kmer",
-                                     ert_bits=ert_bits)
+                                     ert_bits=ert_bits, mode=args.mode)
     elif args.backend == "fmi":
         import os
 
@@ -344,7 +353,7 @@ def cmd_mem(args) -> int:
     elif args.engine == "device":
         from bwameme_tpu.seeding.engine import DeviceSeedingEngine
 
-        engine = DeviceSeedingEngine(idx, opt)
+        engine = DeviceSeedingEngine(idx, opt, mode=args.mode)
     rg_id = None
     rg_line = None
     if args.R:
@@ -390,6 +399,10 @@ def cmd_mem(args) -> int:
 
     chunk_bp = args.K if args.K else 10_000_000 * max(args.t, 1)
     n = 0
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
     t0 = time.time()
     if args.ignore_alt:
         for c in idx.bns.contigs:
@@ -412,6 +425,20 @@ def cmd_mem(args) -> int:
         print(f"[mem] processed {n} reads ({n/(time.time()-t0):.0f} reads/s)",
               file=sys.stderr)
     timer.report(sys.stderr)
+    if args.verbose >= 3:
+        # fine-grained pipeline sub-stages (seed rounds, chain, extension,
+        # finalize) — the display_stats analog; sub-stages overlap, so
+        # percentages are of run wall-clock (reference: profiling.cpp:54)
+        from bwameme_tpu.utils.timer import TPROF
+
+        TPROF.report(sys.stderr, total=time.time() - t0,
+                     label="pipeline sub-stages (of wall)")
+    if args.profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"[mem] jax profiler trace -> {args.profile_dir}",
+              file=sys.stderr)
     if out is not sys.stdout:
         out.close()
     return 0

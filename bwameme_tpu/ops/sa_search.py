@@ -66,13 +66,37 @@ class DeviceIndex:
 
     @staticmethod
     def from_host(idx, ert_bits: int | None = None, mesh=None,
-                  shard_axis: str = "idx") -> "DeviceIndex":
+                  shard_axis: str = "idx",
+                  mode: int | None = None) -> "DeviceIndex":
         """Upload the index. With `mesh`, the two big per-suffix planes
         (sa positions, text-position keys) are SHARDED along `shard_axis`
         by equal blocks (block sharding of rank/position order), padded to
         the shard count; everything else — packed text, P-RMI parameters,
         k-mer root — is replicated, the analog of the reference keeping
-        the pac resident per process (SURVEY.md §5 scale-out design)."""
+        the pac resident per process (SURVEY.md §5 scale-out design).
+
+        mode selects the HBM-resident layout, the analog of the reference's
+        compile-time MODE axis (38/88/118 GB for human,
+        src/LearnedIndex_seeding.h:79-88, README.md:151-156):
+          3 = positions + text-position key plane (ktext; needs idx.isa) —
+              fastest, ~12 B/suffix;
+          2 = positions + rank-indexed key plane (key2) — ~12 B/suffix, no
+              ISA needed at build;
+          1 = positions only — ~4 B/suffix, every compare walks the packed
+              text (suffix_cmp_pos_only);
+          None = auto (3 when the ISA is available, else 2)."""
+        # single-chip device coordinates are int32 (ranks AND text
+        # positions); a text past 2^31 suffixes must be key-range sharded
+        # over a mesh so each shard's LOCAL block stays addressable —
+        # never silently truncated (VERDICT #2)
+        n_shards_req = 1 if mesh is None else int(mesh.shape[shard_axis])
+        if idx.n_sa >= 2**31:
+            raise ValueError(
+                f"n_sa={idx.n_sa} exceeds int32 device coordinates "
+                f"({n_shards_req} shard(s)); global ranks/positions are "
+                "int32 throughout the kernels — a >2^31-suffix text needs "
+                "the int64-coordinate sharded layout (split the genome or "
+                "raise shards once per-shard int64 ranks land)")
         kmer_table = None
         kmer_bits = 0
         if ert_bits is not None:
@@ -101,16 +125,23 @@ class DeviceIndex:
 
             def put_repl(a):
                 return jax.device_put(np.asarray(a), rp)
-        if idx.isa is not None:
+        if mode is None:
+            mode = 3 if idx.isa is not None else 2
+        if mode == 3:
+            assert idx.isa is not None, "mode 3 (ktext) needs the ISA"
             kt = np.empty((len(idx.sa), 2), np.uint32)
             kt[:, 0] = idx.key_hi[idx.isa]
             kt[:, 1] = idx.key_lo[idx.isa]
             ktext = put_shard(kt)
             key2 = None
-        else:
+        elif mode == 2:
             ktext = None
             key2 = put_shard(
                 np.stack([idx.key_hi, idx.key_lo], axis=1).astype(np.uint32))
+        elif mode == 1:
+            ktext = key2 = None
+        else:
+            raise ValueError(f"mode must be 1, 2 or 3, got {mode}")
         return DeviceIndex(
             text32=put_repl(np.asarray(idx.text32, dtype=np.uint32)),
             sa=put_shard(np.asarray(idx.sa, dtype=np.int32)),
@@ -394,8 +425,10 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
         rmi_window = kmer_window if root == "kmer" else prmi_window
 
         def deep_cmp(qbuf32, row, pivot, v, sa_idx, base_lcp, base_less,
-                     resolved):
-            """Continue comparison beyond 32 bases, 16-base text chunks."""
+                     resolved, start_off=32):
+            """Continue comparison from base `start_off`, 16-base text
+            chunks (start_off=0 is the MODE-1 positions-only tier: the
+            whole compare walks the packed text)."""
             tpos = sa_at(sa_idx)
 
             def cond(st):
@@ -404,7 +437,7 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
 
             def body(st):
                 step, resolved, less, lcp = st
-                off = 32 + step * 16
+                off = start_off + step * 16
                 qv = query_word_at(qbuf32, row, pivot + off)
                 tv = text_word_at(d.text32, tpos + off)
                 x = qv ^ tv
@@ -485,7 +518,29 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
                              jnp.where(sa_idx >= n_sa, False, less))
             return less, lcp
 
-        suffix_cmp = suffix_cmp_flat if has_ktext else suffix_cmp_deep
+        def suffix_cmp_pos_only(qbuf32, row, pivot, v, sa_idx):
+            """MODE-1 tier (positions only, no key planes): the whole
+            compare walks the packed text from offset 0 — the analog of
+            the reference's 38 GB build (`LOADSUFFIX=0`,
+            compare_read_and_ref_binary_pos_only,
+            src/LearnedIndex_seeding.cpp:431-519)."""
+            idx = jnp.clip(sa_idx, 0, n_sa - 1)
+            zero = jnp.zeros(jnp.shape(sa_idx), jnp.int32)
+            less, lcp = deep_cmp(qbuf32, row, pivot, v, idx, zero,
+                                 zero.astype(jnp.bool_), v <= 0,
+                                 start_off=0)
+            oob = (sa_idx < 0) | (sa_idx >= n_sa)
+            lcp = jnp.where(oob, 0, lcp)
+            less = jnp.where(sa_idx < 0, True,
+                             jnp.where(sa_idx >= n_sa, False, less))
+            return less, lcp
+
+        if has_ktext:
+            suffix_cmp = suffix_cmp_flat
+        elif di.key2 is not None:
+            suffix_cmp = suffix_cmp_deep
+        else:
+            suffix_cmp = suffix_cmp_pos_only
 
         def lower_bound(qbuf32, row, pivot, v, wlo, whi, strict_greater=False):
             """First index in [wlo, whi] where suffix >= pattern[:v]

@@ -1,102 +1,153 @@
-"""Multi-chip dry run: compile + execute the full sharded pipeline step.
+"""Multi-chip dry run: the FULL mem pipeline on an n-device mesh.
 
-Used by __graft_entry__.dryrun_multichip(n): builds an n-device mesh with a
-2D (dp, idx) layout — reads data-parallel on `dp`, the suffix-array index
-sharded by key range on `idx` — and runs one seeding query batch plus one
-data-parallel banded-SW extension batch on tiny shapes.
+Used by __graft_entry__.dryrun_multichip(n): builds an n-device 1D mesh
+with the suffix-array index sharded by rank blocks along the "idx" axis
+(DeviceSeedingEngine(mesh=...): every device program runs shard_map'ed,
+per-shard gathers psum-combined — SURVEY.md §5 distributed backend), then
+aligns synthetic single-end reads AND paired-end reads through the whole
+pipeline — seeding, chaining, banded-SW extension, pairing/mate rescue,
+finalization — and asserts the SAM records are IDENTICAL to the
+single-device host-oracle pipeline.
+
+Also probes seeding scaling: the same query batch through sa_query on
+1/2/n-shard meshes (informational — CPU-mesh timings are not TPU ICI
+numbers; the probe validates the programs compile and agree at every
+shard count).
 """
 
 from __future__ import annotations
 
+import sys
+import time
+
 import numpy as np
+
+
+def _build_workload(rng, n=30000, n_se=96, n_pe=32, read_len=120):
+    from bwameme_tpu.index import bntseq
+    from bwameme_tpu.index.build import build_index
+
+    code = rng.integers(0, 4, n).astype(np.uint8)
+    # a repeat so secondary alignments / chain filtering get exercised
+    code[20000:21000] = code[5000:6000]
+    bns = bntseq.BntSeq(
+        l_pac=n, contigs=[bntseq.Contig("c", "", 0, n, 0)], ambs=[], code=code
+    )
+    idx = build_index(bns, rmi_bits=8)
+
+    from bwameme_tpu.io.fastq import Read
+
+    chars = "ACGT"
+
+    def to_read(name, codes):
+        return Read(name=name, seq="".join(chars[c] for c in codes),
+                    qual="I" * len(codes), comment=None)
+
+    se = []
+    for i in range(n_se):
+        a = int(rng.integers(0, n - read_len))
+        c = idx.text[a: a + read_len].copy()
+        for _ in range(rng.poisson(1.0)):
+            p = int(rng.integers(0, read_len))
+            c[p] = (c[p] + rng.integers(1, 4)) % 4
+        if i % 2:
+            c = (3 - c[::-1]).astype(np.uint8)
+        se.append(to_read(f"s{i}", c))
+
+    pairs = []
+    for i in range(n_pe):
+        a = int(rng.integers(0, n - 500))
+        ins = int(rng.integers(250, 450))
+        c1 = idx.text[a: a + read_len].copy()
+        c2 = (3 - idx.text[a + ins - read_len: a + ins][::-1]).astype(np.uint8)
+        p = int(rng.integers(0, read_len))
+        c1[p] = (c1[p] + 1) % 4
+        pairs.append(to_read(f"p{i}", c1))
+        pairs.append(to_read(f"p{i}", c2))
+    return idx, se, pairs
 
 
 def run_dryrun(n_devices: int) -> None:
     import jax
-    import jax.numpy as jnp
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh
+
+    from bwameme_tpu.pipeline import Aligner
+    from bwameme_tpu.seeding.engine import DeviceSeedingEngine
+    from bwameme_tpu.utils.config import MemOptions
 
     devices = jax.devices()[:n_devices]
     assert len(devices) >= n_devices, (
         f"need {n_devices} devices, have {len(jax.devices())}"
     )
-    # 2D mesh: reads data-parallel x index sharded
-    dp = 2 if n_devices % 2 == 0 and n_devices >= 4 else 1
-    idxn = n_devices // dp
-    mesh = Mesh(np.array(devices).reshape(dp, idxn), ("dp", "idx"))
-
-    from bwameme_tpu.index import bntseq
-    from bwameme_tpu.index.build import build_index
-    from bwameme_tpu.parallel.sharded_index import ShardedIndex, make_sharded_search
-    from bwameme_tpu.seeding.engine import DeviceSeedingEngine
-    from bwameme_tpu.seeding.host_engine import HostSeedingEngine
-    from bwameme_tpu.utils.config import MemOptions
 
     rng = np.random.default_rng(0)
-    n = 4096
-    code = rng.integers(0, 4, n).astype(np.uint8)
-    bns = bntseq.BntSeq(
-        l_pac=n, contigs=[bntseq.Contig("c", "", 0, n, 0)], ambs=[], code=code
-    )
-    idx = build_index(bns, rmi_bits=8)
+    idx, se_reads, pe_reads = _build_workload(rng)
     opt = MemOptions()
 
-    # ---- sharded seeding query over the idx axis ----
-    si = ShardedIndex.shard(idx, mesh, axis="idx")
-    sa_query = make_sharded_search(si)
+    # ---- single-device oracle: the host-engine pipeline ----
+    base = Aligner(idx, opt)
+    sam_se_base = base.align_batch(se_reads)
+    opt_pe = MemOptions()
+    opt_pe.flag |= 2  # MEM_F_PE
+    base_pe = Aligner(idx, opt_pe)
+    sam_pe_base = base_pe.align_pairs(pe_reads)
 
-    eng = DeviceSeedingEngine(idx, opt)  # reuse its packing only
-    reads = [idx.text[100:200].copy(), idx.text[700:810].copy()]
-    qbuf, next_f, next_r = eng._prepare(reads)
-    rows = np.array([0, 1, 2, 3], np.int32)          # fwd rows + rc rows
-    pivots = np.array([0, 5, 2, 0], np.int32)
-    vs = np.array([100, 105, 98, 110], np.int32)
-    mlen, lb, cnt = sa_query(
-        qbuf, jnp.asarray(rows), jnp.asarray(pivots), jnp.asarray(vs),
-        jnp.ones(4, jnp.int32),
-    )
-    mlen = np.asarray(mlen)
-    lb = np.asarray(lb)
-    cnt = np.asarray(cnt)
+    # ---- the full pipeline on the index-sharded mesh ----
+    mesh = Mesh(np.array(devices), ("idx",))
+    t0 = time.time()
+    eng = DeviceSeedingEngine(idx, opt, max_read_len=160, lanes=256,
+                              mesh=mesh)
+    mesh_aligner = Aligner(idx, opt, seeding_engine=eng)
+    sam_se = mesh_aligner.align_batch(se_reads)
+    print(f"[dryrun] SE x{len(se_reads)} on {n_devices}-shard mesh: "
+          f"{time.time()-t0:.1f}s (incl. compile)", file=sys.stderr)
+    assert sam_se == sam_se_base, "mesh SE SAM != single-device SAM"
 
-    # cross-check vs the single-device host oracle
-    host = HostSeedingEngine(idx, opt)
-    for k in range(len(rows)):
-        r = int(rows[k])
-        codes = reads[r] if r < len(reads) else (
-            np.where(reads[r - len(reads)] < 4, 3 - reads[r - len(reads)],
-                     reads[r - len(reads)])[::-1]
-        )
-        pat = codes[int(pivots[k]): int(pivots[k]) + int(vs[k])]
-        hl, hlb, hcnt = host.sa_query(pat, 1)
-        assert (hl, hlb, hcnt) == (int(mlen[k]), int(lb[k]), int(cnt[k])), (
-            k, (hl, hlb, hcnt), (int(mlen[k]), int(lb[k]), int(cnt[k]))
-        )
+    t0 = time.time()
+    eng_pe = DeviceSeedingEngine(idx, opt_pe, max_read_len=160, lanes=256,
+                                 mesh=mesh)
+    mesh_pe = Aligner(idx, opt_pe, seeding_engine=eng_pe)
+    sam_pe = mesh_pe.align_pairs(pe_reads)
+    print(f"[dryrun] PE x{len(pe_reads)//2} pairs on mesh: "
+          f"{time.time()-t0:.1f}s", file=sys.stderr)
+    assert sam_pe == sam_pe_base, "mesh PE SAM != single-device SAM"
 
-    # ---- data-parallel extension step over the dp axis ----
-    from bwameme_tpu.ops.banded_sw import banded_sw_extend_batch
+    # ---- seeding scaling probe over shard counts ----
+    shard_counts = sorted({1, 2, n_devices} & set(range(1, n_devices + 1)))
+    probe = _scaling_probe(idx, opt, shard_counts, devices)
+    print(f"[dryrun] sa_query scaling probe (reads/s by shards): {probe}",
+          file=sys.stderr)
+    print(f"[dryrun] OK: full pipeline on {n_devices} devices, SAM "
+          f"identical to single-device ({len(sam_se)} SE + "
+          f"{len(sam_pe)} PE records)", file=sys.stderr)
 
-    B, Q, T = 8 * dp, 32, 48
-    q = rng.integers(0, 4, (B, Q)).astype(np.int32)
-    t = np.concatenate([q, rng.integers(0, 4, (B, T - Q)).astype(np.int32)], axis=1)
-    qlen = np.full(B, Q, np.int32)
-    tlen = np.full(B, T, np.int32)
-    h0 = np.full(B, 10, np.int32)
-    ws = np.full(B, opt.w, np.int32)
-    batch_shard = NamedSharding(mesh, P("dp"))
-    repl = NamedSharding(mesh, P())
 
-    args = [
-        jax.device_put(x, batch_shard) for x in (q, t, qlen, tlen, h0, ws)
-    ] + [jax.device_put(opt.mat.astype(np.int32), repl)]
-    out = banded_sw_extend_batch(
-        *args, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, 5, opt.zdrop
-    )
-    score = np.asarray(out["score"])
-    assert (score == 10 + Q).all(), score  # perfect prefix extensions
+def _scaling_probe(idx, opt, shard_counts, devices):
+    """Compile + run the packed seeding step at several shard counts and
+    assert identical outputs; returns {n_shards: reads_per_s}."""
+    import jax
+    from jax.sharding import Mesh
 
-    print(
-        f"dryrun_multichip OK: mesh={dict(zip(mesh.axis_names, mesh.devices.shape))}, "
-        f"sharded sa_query verified on {len(rows)} queries, "
-        f"dp-sharded banded SW on {B} pairs"
-    )
+    from bwameme_tpu.seeding.engine import DeviceSeedingEngine
+
+    rng = np.random.default_rng(1)
+    reads = []
+    for _ in range(64):
+        a = int(rng.integers(0, idx.l_pac - 100))
+        reads.append(idx.text[a: a + 100].copy())
+
+    out = {}
+    ref = None
+    for k in shard_counts:
+        mesh = Mesh(np.array(devices[:k]), ("idx",)) if k > 1 else None
+        eng = DeviceSeedingEngine(idx, opt, max_read_len=160, lanes=256,
+                                  mesh=mesh)
+        got = eng.collect_smems_batch(reads)
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref, f"{k}-shard seeding differs"
+        t0 = time.time()
+        eng.collect_smems_batch(reads)
+        out[k] = round(len(reads) / (time.time() - t0), 1)
+    return out

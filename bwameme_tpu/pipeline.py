@@ -27,6 +27,7 @@ from bwameme_tpu.io.fastq import Read
 from bwameme_tpu.seeding.host_engine import HostSeedingEngine
 from bwameme_tpu.utils import fallbacks
 from bwameme_tpu.utils.config import MEM_F_ALL, MEM_F_PRIMARY5, MemOptions
+from bwameme_tpu.utils.timer import tstage
 
 
 @dataclasses.dataclass
@@ -93,9 +94,10 @@ class Aligner:
         if self.fused_extension and extend_mod.rescore_is_noop(self.opt,
                                                                queries):
             try:
-                raw = chain_mod.chain_and_filter_raw(
-                    self.opt, self.idx.bns, queries, smems_per_read,
-                    getattr(self.engine, "sa_positions", self.idx.sa))
+                with tstage("chain"):
+                    raw = chain_mod.chain_and_filter_raw(
+                        self.opt, self.idx.bns, queries, smems_per_read,
+                        getattr(self.engine, "sa_positions", self.idx.sa))
                 if raw is not None:
                     tok = extend_mod.extend_flat_submit(
                         self.opt, self.idx.bns, queries, raw,
@@ -135,29 +137,37 @@ class Aligner:
         when available (DeviceSeedingEngine). Prefers the flat compacted
         result (a FlatSmems struct) — chaining consumes it without building
         per-read Smem lists."""
-        if hasattr(self.engine, "sorted_smems_batch_flat"):
-            flat = self.engine.sorted_smems_batch_flat(
-                [r.codes for r in recs])
-            if flat is not None:
-                return flat
-        if hasattr(self.engine, "sorted_smems_batch"):
-            return self.engine.sorted_smems_batch([r.codes for r in recs])
-        return [self.engine.sorted_smems(r.codes) for r in recs]
+        with tstage("seed.collect"):
+            if hasattr(self.engine, "sorted_smems_batch_flat"):
+                flat = self.engine.sorted_smems_batch_flat(
+                    [r.codes for r in recs])
+                if flat is not None:
+                    return flat
+            if hasattr(self.engine, "sorted_smems_batch"):
+                return self.engine.sorted_smems_batch(
+                    [r.codes for r in recs])
+            return [self.engine.sorted_smems(r.codes) for r in recs]
 
     def _chain_batch(self, recs, smems_per_read):
         """Kernel-1 tail: chaining + chain filters for a seeded batch."""
         opt, idx = self.opt, self.idx
         queries = [r.codes for r in recs]
-        chains_per_read = chain_mod.chain_and_filter_batch(
-            opt, idx.bns, queries, smems_per_read,
-            getattr(self.engine, "sa_positions", idx.sa))
-        for rec, chains in zip(recs, chains_per_read):
-            chain_mod.filter_chained_seeds(opt, idx.bns, idx.text, rec.codes,
-                                           len(rec.codes), chains)
+        with tstage("chain"):
+            chains_per_read = chain_mod.chain_and_filter_batch(
+                opt, idx.bns, queries, smems_per_read,
+                getattr(self.engine, "sa_positions", idx.sa))
+            for rec, chains in zip(recs, chains_per_read):
+                chain_mod.filter_chained_seeds(opt, idx.bns, idx.text,
+                                               rec.codes, len(rec.codes),
+                                               chains)
         return queries, chains_per_read
 
     def _finalize_se(self, recs, regs_per_read) -> list[str]:
         """Kernel 3 for single-end reads: dedup, primary marking, SAM."""
+        with tstage("finalize"):
+            return self._finalize_se_inner(recs, regs_per_read)
+
+    def _finalize_se_inner(self, recs, regs_per_read) -> list[str]:
         while recs and recs[-1] is _PAD_REC:  # drop shape-padding reads
             recs = recs[: len(recs) - 1]
             regs_per_read = regs_per_read[: len(recs)]
@@ -236,7 +246,8 @@ class Aligner:
         if not hasattr(self.engine, "submit_batch"):
             return None
         try:
-            return self.engine.submit_batch([r.codes for r in recs])
+            with tstage("seed.submit"):
+                return self.engine.submit_batch([r.codes for r in recs])
         except fallbacks.EXPECTED as e:
             fallbacks.note("seeding.submit", e)
             self.engine.use_fused = False
@@ -250,20 +261,23 @@ class Aligner:
         smems = None
         if token is not None:
             try:
-                smems = self.engine.finish_batch_flat(token)
-                if smems is None:
-                    lst = self.engine.finish_batch(token)
-                    smems = [sorted(sm, key=lambda s: (s.start, s.end))
-                             for sm in lst]
+                with tstage("seed.finish"):
+                    smems = self.engine.finish_batch_flat(token)
+                    if smems is None:
+                        lst = self.engine.finish_batch(token)
+                        smems = [sorted(sm, key=lambda s: (s.start, s.end))
+                                 for sm in lst]
             except fallbacks.EXPECTED as e:
                 fallbacks.note("seeding.finish", e)
                 self.engine.use_fused = False
                 smems = None
         if smems is None:
             smems = self.collect_smems(recs)
-        k2 = self._kernel2_submit(recs, smems)
+        with tstage("extend.submit"):
+            k2 = self._kernel2_submit(recs, smems)
         next_token = self._submit_seed(next_recs) if next_recs else None
-        regs_per_read = self._kernel2_finish(k2)
+        with tstage("extend.finish"):
+            regs_per_read = self._kernel2_finish(k2)
         return self._finalize_se(recs, regs_per_read), next_token
 
     def _align_from_smems(self, recs: list[ReadRec],
@@ -326,22 +340,26 @@ class Aligner:
                 deduped.append(regs)
 
         # insert-size statistics over the whole chunk (or the -I override)
-        pes = (self.pes0 if self.pes0 is not None
-               else pairing.pestat(opt, bns.l_pac, deduped))
+        with tstage("pe.pestat"):
+            pes = (self.pes0 if self.pes0 is not None
+                   else pairing.pestat(opt, bns.l_pac, deduped))
         if self.batched_rescue:
-            recs_pairs = [(recs[i], recs[i + 1]) for i in range(0, len(reads), 2)]
-            regs_pairs = [[deduped[i], deduped[i + 1]]
-                          for i in range(0, len(reads), 2)]
-            pairing.sam_pe_batch_rescue(opt, bns, text, pes, recs_pairs,
-                                        regs_pairs)
+            with tstage("pe.rescue"):
+                recs_pairs = [(recs[i], recs[i + 1])
+                              for i in range(0, len(reads), 2)]
+                regs_pairs = [[deduped[i], deduped[i + 1]]
+                              for i in range(0, len(reads), 2)]
+                pairing.sam_pe_batch_rescue(opt, bns, text, pes, recs_pairs,
+                                            regs_pairs)
         out = []
-        for i in range(0, len(reads), 2):
-            pair_id = (self.n_processed >> 1) + (i >> 1)
-            s0, s1 = pairing.sam_pe(
-                opt, bns, text, pes, pair_id,
-                [recs[i], recs[i + 1]], [deduped[i], deduped[i + 1]],
-                rg_id=self.rg_id, skip_rescue=self.batched_rescue,
-            )
-            out.extend([s0, s1])
+        with tstage("pe.finalize"):
+            for i in range(0, len(reads), 2):
+                pair_id = (self.n_processed >> 1) + (i >> 1)
+                s0, s1 = pairing.sam_pe(
+                    opt, bns, text, pes, pair_id,
+                    [recs[i], recs[i + 1]], [deduped[i], deduped[i + 1]],
+                    rg_id=self.rg_id, skip_rescue=self.batched_rescue,
+                )
+                out.extend([s0, s1])
         self.n_processed += len(reads)
         return out

@@ -37,7 +37,7 @@ class DeviceSeedingEngine:
     def __init__(self, idx, opt, max_read_len: int = 160,
                  lanes: int = 1024, root: str = "prmi",
                  ert_bits: int = 0, mesh=None,
-                 index_axis: str = "idx") -> None:
+                 index_axis: str = "idx", mode: int | None = None) -> None:
         """root="prmi" (learned index, the -7 path) or "kmer" (the ERT
         backend: direct k-mer-root window, see index/ert.py).
 
@@ -54,7 +54,7 @@ class DeviceSeedingEngine:
         self.index_axis = index_axis
         self.di = DeviceIndex.from_host(
             idx, ert_bits=(ert_bits if root == "kmer" else None),
-            mesh=mesh, shard_axis=index_axis)
+            mesh=mesh, shard_axis=index_axis, mode=mode)
         # fixed lane count -> exactly one compilation per query kernel
         # (shrinking active sets run with inert lanes; gathers are cheap)
         self.lanes = lanes
@@ -418,31 +418,40 @@ class DeviceSeedingEngine:
         finish_batch(). Falls back to None when the fused path is off."""
         if not self.use_fused:
             return None
+        from bwameme_tpu.utils.timer import tstage
+
         opt = self.opt
         M = self.max_smems
         M2 = 16
-        mat, _rcm, lens_np, maxlen = self._batch_matrix(codes_list)
-        self._select_tier(maxlen)
-        lens = jnp.asarray(lens_np.astype(np.int32))
-        qbuf, nf, nr, nvf = self._prep_dev(jnp.asarray(mat), lens)
-        d1 = self._fused_step1(
-            self.di, qbuf, nf, nr, nvf, lens, jnp.int32(opt.min_seed_len), M=M
-        )
+        with tstage("seed.prep"):
+            mat, _rcm, lens_np, maxlen = self._batch_matrix(codes_list)
+            self._select_tier(maxlen)
+            lens = jnp.asarray(lens_np.astype(np.int32))
+            qbuf, nf, nr, nvf = self._prep_dev(jnp.asarray(mat), lens)
+        # per-round times are DISPATCH wall (JAX is async; device time
+        # surfaces at the blocking readback in seed.finish)
+        with tstage("seed.round1"):
+            d1 = self._fused_step1(
+                self.di, qbuf, nf, nr, nvf, lens,
+                jnp.int32(opt.min_seed_len), M=M
+            )
         slots1, ns1 = d1
         d2 = None
         if self.fuse_step2:
-            d2 = self._fused_step2(
-                self.di, qbuf, nf, nr, lens, slots1[0], slots1[1], slots1[3],
-                ns1,
-                jnp.int32(opt.split_len), jnp.int32(opt.split_width),
-                jnp.int32(opt.min_seed_len), M1=M, M2=M2,
-            )
+            with tstage("seed.round2"):
+                d2 = self._fused_step2(
+                    self.di, qbuf, nf, nr, lens, slots1[0], slots1[1],
+                    slots1[3], ns1,
+                    jnp.int32(opt.split_len), jnp.int32(opt.split_width),
+                    jnp.int32(opt.min_seed_len), M1=M, M2=M2,
+                )
         d3 = None
         if opt.max_mem_intv > 0 and self.fuse_step3:
-            d3 = self._fused_step3(
-                self.di, qbuf, nf, lens, jnp.int32(opt.max_mem_intv),
-                jnp.int32(opt.min_seed_len + 1), M=M,
-            )
+            with tstage("seed.round3"):
+                d3 = self._fused_step3(
+                    self.di, qbuf, nf, lens, jnp.int32(opt.max_mem_intv),
+                    jnp.int32(opt.min_seed_len + 1), M=M,
+                )
         packed = None
         if d2 is not None and (opt.max_mem_intv <= 0 or d3 is not None):
             # all rounds device-resident: enqueue the compaction dispatch so

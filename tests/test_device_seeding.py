@@ -126,3 +126,24 @@ def test_fully_fused_steps_parity(engines):
             for k in range(int(flat.off[i]), int(flat.off[i + 1]))
         ]
         assert got == [(s.start, s.end, s.sa_lo, s.hitcount) for s in x]
+
+
+@pytest.mark.parametrize("mode", [1, 2])
+def test_memory_tier_parity(engines, mode):
+    """MODE tiers (reference MODE=1/2/3 memory axis): the positions-only
+    and rank-key layouts seed identically to the default ktext layout."""
+    host_eng, _dev_eng, idx, rng = engines
+    eng = DeviceSeedingEngine(idx, MemOptions(), lanes=256, mode=mode)
+    reads = []
+    for _ in range(8):
+        st = int(rng.integers(0, idx.l_pac - 150))
+        c = idx.text[st: st + 130].copy()
+        p = int(rng.integers(0, 130))
+        c[p] = (c[p] + 1) % 4
+        reads.append(c)
+    host = [host_eng.sorted_smems(c) for c in reads]
+    dev = eng.sorted_smems_batch(reads)
+    for ri, (h, d) in enumerate(zip(host, dev)):
+        hs = [(s.start, s.end, s.sa_lo, s.hitcount) for s in h]
+        ds = [(s.start, s.end, s.sa_lo, s.hitcount) for s in d]
+        assert hs == ds, (mode, ri, hs, ds)
