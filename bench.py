@@ -33,6 +33,9 @@ os.environ.setdefault("BWAMEME_STRICT", "1")
 import numpy as np
 
 REF_MBP = float(os.environ.get("BWAMEME_BENCH_MBP", "8"))
+# "prmi" (learned index, the -7 path) or "kmer" (the ERT backend's
+# enumerated root) — for the backend tradeoff measurement (VERDICT #8)
+ROOT = os.environ.get("BWAMEME_BENCH_ROOT", "prmi")
 N_READS = int(os.environ.get("BWAMEME_BENCH_READS", "4096"))
 READ_LEN = 151
 BATCH = int(os.environ.get("BWAMEME_BENCH_BATCH", "2048"))
@@ -131,7 +134,9 @@ def main():
     reads = make_reads(idx, rng)
 
     _log("building device engine (index upload)")
-    eng = DeviceSeedingEngine(idx, opt, lanes=BATCH)
+    eng = DeviceSeedingEngine(
+        idx, opt, lanes=BATCH,
+        **({"root": "kmer", "ert_bits": 0} if ROOT == "kmer" else {}))
     _log("engine ready; warmup")
     # warmup/compile: run the first full-size batch once (same shapes as
     # production so nothing recompiles during the timed run)

@@ -61,12 +61,16 @@ def train_prmi(idx, bits: int, margin: int = 2) -> None:
     sy = segsum(y)
     sxx = segsum(rel * rel)
     sxy = segsum(rel * y)
-    with np.errstate(invalid="ignore", divide="ignore"):
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
         var = sxx - sx * sx / np.maximum(s1, 1)
         cov = sxy - sx * sy / np.maximum(s1, 1)
         beta = np.where(var > 0, cov / np.maximum(var, 1e-300), 0.0)
         beta = np.maximum(beta, 0.0)  # monotone model: required for bound proof
+        # degenerate leaves (keys equal to f64 resolution): an overflowed
+        # slope would poison alpha with inf/NaN; a flat model is exact there
+        beta = np.where(np.isfinite(beta), beta, 0.0)
         alpha = np.where(s1 > 0, (sy - beta * sx) / np.maximum(s1, 1), 0.0)
+        alpha = np.where(np.isfinite(alpha), alpha, 0.0)
 
     alpha32 = alpha.astype(np.float32)
     beta32 = beta.astype(np.float32)

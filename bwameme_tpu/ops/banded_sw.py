@@ -207,7 +207,11 @@ def _sw_core(q_codes, t_codes, qlen, tlen, h0, ws, mat,
             done=done,
         )
 
-    st = jax.lax.fori_loop(0, T, row, state)
+    # unroll: halves the device loop-iteration overhead of the ~T sequential
+    # rows (each row is cheap VPU work; the while-loop bookkeeping is a
+    # measurable fraction). Kept modest — the axon remote compiler's cost
+    # grows with program size.
+    st = jax.lax.fori_loop(0, T, row, state, unroll=2)
     return dict(
         score=st["mx"], qle=st["max_j"] + 1, tle=st["max_i"] + 1,
         gtle=st["max_ie"] + 1, gscore=st["gsc"], max_off=st["max_off"],

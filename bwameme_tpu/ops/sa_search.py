@@ -53,16 +53,23 @@ class DeviceIndex:
     #                          at p (== key2[isa[p]]). Collapses every deep
     #                          compare segment to ONE independent 8-byte
     #                          gather — no ISA hop, no rank chain.
-    leaf_start: jax.Array  # int32[L+1]
-    alpha: jax.Array       # float32[L]
-    beta: jax.Array        # float32[L]
-    err_lo: jax.Array      # int32[L]
-    err_hi: jax.Array      # int32[L]
+    params: jax.Array      # uint32[L, 6] fused P-RMI leaf records:
+    #                        (leaf_start, leaf_end, alpha.bits, beta.bits,
+    #                         err_lo, err_hi) — ONE row gather per window
+    #                        instead of six plane gathers
     bits: int              # static
     n_sa: int              # static
     isa: jax.Array | None = None  # int32[N] inverse SA (MODE3)
     kmer_table: jax.Array | None = None  # int32[4^kb+1] ERT root (see index/ert.py)
     kmer_bits: int = 0
+    rk: jax.Array | None = None    # uint32[N,4] MODE-4 fused rank rows:
+    #                          (sa[r], key_hi[r], key_lo[r], bases 32..48) —
+    #                          one 16-byte gather yields the suffix position
+    #                          AND the first 48 bases of every probe
+    kt64: jax.Array | None = None  # uint32[N,4] MODE-4 text-position rows:
+    #                          kt64[p] = 64 bases of text at p (two stacked
+    #                          32-base keys) — deep compares cost ONE 16-byte
+    #                          gather per 64 bases instead of two 8-byte ones
 
     @staticmethod
     def from_host(idx, ert_bits: int | None = None, mesh=None,
@@ -78,17 +85,37 @@ class DeviceIndex:
         mode selects the HBM-resident layout, the analog of the reference's
         compile-time MODE axis (38/88/118 GB for human,
         src/LearnedIndex_seeding.h:79-88, README.md:151-156):
+          4 = fused rank rows (sa + first 48 bases per rank, 16 B) + 64-base
+              text-position key rows (16 B) — fastest, ~32 B/suffix: every
+              probe's position AND first 48 bases cost ONE gather, deep
+              compares one gather per 64 bases (needs idx.isa);
           3 = positions + text-position key plane (ktext; needs idx.isa) —
-              fastest, ~12 B/suffix;
+              ~12 B/suffix;
           2 = positions + rank-indexed key plane (key2) — ~12 B/suffix, no
               ISA needed at build;
           1 = positions only — ~4 B/suffix, every compare walks the packed
               text (suffix_cmp_pos_only);
-          None = auto (3 when the ISA is available, else 2)."""
+          None = auto (4 when the ISA is available and the fused planes fit
+          a single chip's HBM, else 3/2)."""
         # single-chip device coordinates are int32 (ranks AND text
         # positions); a text past 2^31 suffixes must be key-range sharded
         # over a mesh so each shard's LOCAL block stays addressable —
         # never silently truncated (VERDICT #2)
+        def _fuse_rmi_params(idx):
+            """(L, 6) uint32 leaf records: one 24-byte row gather yields the
+            whole window computation's inputs (leaf_start, leaf_end,
+            alpha.bits, beta.bits, err_lo, err_hi)."""
+            ls = np.asarray(idx.rmi_leaf_start, np.int64)
+            L = len(ls) - 1
+            p = np.empty((L, 6), np.uint32)
+            p[:, 0] = ls[:-1].astype(np.uint32)
+            p[:, 1] = ls[1:].astype(np.uint32)
+            p[:, 2] = np.asarray(idx.rmi_alpha, np.float32).view(np.uint32)
+            p[:, 3] = np.asarray(idx.rmi_beta, np.float32).view(np.uint32)
+            p[:, 4] = np.asarray(idx.rmi_err_lo, np.uint32)
+            p[:, 5] = np.asarray(idx.rmi_err_hi, np.uint32)
+            return p
+
         n_shards_req = 1 if mesh is None else int(mesh.shape[shard_axis])
         if idx.n_sa >= 2**31:
             raise ValueError(
@@ -126,39 +153,61 @@ class DeviceIndex:
             def put_repl(a):
                 return jax.device_put(np.asarray(a), rp)
         if mode is None:
-            mode = 3 if idx.isa is not None else 2
-        if mode == 3:
+            if idx.isa is not None:
+                # mode 4's 32 B/suffix must fit each shard's HBM next to the
+                # text + slots; past ~256M suffixes/shard drop to mode 3
+                mode = 4 if idx.n_sa // max(n_shards_req, 1) <= (1 << 28) \
+                    else 3
+            else:
+                mode = 2
+        rk = kt64 = ktext = key2 = None
+        if mode == 4:
+            assert idx.isa is not None, "mode 4 (rk/kt64) needs the ISA"
+            n = len(idx.sa)
+            kh_t = idx.key_hi[idx.isa]  # 16 bases at text position p
+            kl_t = idx.key_lo[idx.isa]
+            k64 = np.empty((n, 4), np.uint32)
+            k64[:, 0] = kh_t
+            k64[:, 1] = kl_t
+            k64[:-32, 2] = kh_t[32:]
+            k64[:-32, 3] = kl_t[32:]
+            k64[-32:, 2:] = 0xFFFFFFFF  # past the padded text: all-T
+            kt64 = put_shard(k64)
+            rkm = np.empty((n, 4), np.uint32)
+            rkm[:, 0] = np.asarray(idx.sa, np.int64).astype(np.uint32)
+            rkm[:, 1] = idx.key_hi
+            rkm[:, 2] = idx.key_lo
+            nxt = np.asarray(idx.sa, np.int64) + 32
+            rkm[:, 3] = np.where(nxt < n, kh_t[np.minimum(nxt, n - 1)],
+                                 np.uint32(0xFFFFFFFF))
+            rk = put_shard(rkm)
+        elif mode == 3:
             assert idx.isa is not None, "mode 3 (ktext) needs the ISA"
             kt = np.empty((len(idx.sa), 2), np.uint32)
             kt[:, 0] = idx.key_hi[idx.isa]
             kt[:, 1] = idx.key_lo[idx.isa]
             ktext = put_shard(kt)
-            key2 = None
         elif mode == 2:
-            ktext = None
             key2 = put_shard(
                 np.stack([idx.key_hi, idx.key_lo], axis=1).astype(np.uint32))
-        elif mode == 1:
-            ktext = key2 = None
-        else:
-            raise ValueError(f"mode must be 1, 2 or 3, got {mode}")
+        elif mode != 1:
+            raise ValueError(f"mode must be 1, 2, 3 or 4, got {mode}")
         return DeviceIndex(
             text32=put_repl(np.asarray(idx.text32, dtype=np.uint32)),
-            sa=put_shard(np.asarray(idx.sa, dtype=np.int32)),
+            # mode 4 carries sa inside rk; the separate plane is not shipped
+            sa=(put_shard(np.asarray(idx.sa, dtype=np.int32))
+                if mode != 4 else None),
             key2=key2,
             ktext=ktext,
-            leaf_start=put_repl(np.asarray(idx.rmi_leaf_start, np.int32)),
-            alpha=put_repl(idx.rmi_alpha),
-            beta=put_repl(idx.rmi_beta),
-            err_lo=put_repl(np.asarray(idx.rmi_err_lo, np.int32)),
-            err_hi=put_repl(np.asarray(idx.rmi_err_hi, np.int32)),
+            params=put_repl(_fuse_rmi_params(idx)),
             bits=int(idx.rmi_bits),
             n_sa=int(idx.n_sa),
-            isa=None,  # kernels chain through ktext; the ISA itself never
-            #            needs to be HBM-resident on a single chip
+            isa=None,  # kernels chain through ktext/kt64; the ISA itself
+            #            never needs to be HBM-resident on a single chip
             kmer_table=(put_repl(kmer_table) if kmer_table is not None
                         else None),
             kmer_bits=kmer_bits,
+            rk=rk, kt64=kt64,
         )
 
     def partition_specs(self, shard_axis: str = "idx"):
@@ -167,32 +216,31 @@ class DeviceIndex:
         from jax.sharding import PartitionSpec as P
 
         return DeviceIndex(
-            text32=P(), sa=P(shard_axis),
+            text32=P(), sa=None if self.sa is None else P(shard_axis),
             key2=None if self.key2 is None else P(shard_axis),
             ktext=None if self.ktext is None else P(shard_axis),
-            leaf_start=P(), alpha=P(), beta=P(), err_lo=P(), err_hi=P(),
+            params=P(),
             bits=self.bits, n_sa=self.n_sa,
             isa=None if self.isa is None else P(shard_axis),
             kmer_table=None if self.kmer_table is None else P(),
             kmer_bits=self.kmer_bits,
+            rk=None if self.rk is None else P(shard_axis),
+            kt64=None if self.kt64 is None else P(shard_axis),
         )
 
 def _di_flatten(di):
-    children = (di.text32, di.sa, di.key2, di.ktext,
-                di.leaf_start, di.alpha, di.beta, di.err_lo, di.err_hi,
-                di.isa, di.kmer_table)
+    children = (di.text32, di.sa, di.key2, di.ktext, di.params,
+                di.isa, di.kmer_table, di.rk, di.kt64)
     return children, (di.bits, di.n_sa, di.kmer_bits)
 
 
 def _di_unflatten(aux, children):
     bits, n_sa, kmer_bits = aux
-    (text32, sa, key2, ktext, leaf_start, alpha, beta, err_lo,
-     err_hi, isa, kmer_table) = children
+    (text32, sa, key2, ktext, params, isa, kmer_table, rk, kt64) = children
     return DeviceIndex(text32=text32, sa=sa, key2=key2, ktext=ktext,
-                       leaf_start=leaf_start, alpha=alpha,
-                       beta=beta, err_lo=err_lo, err_hi=err_hi, bits=bits,
+                       params=params, bits=bits,
                        n_sa=n_sa, isa=isa, kmer_table=kmer_table,
-                       kmer_bits=kmer_bits)
+                       kmer_bits=kmer_bits, rk=rk, kt64=kt64)
 
 
 # DeviceIndex is a pytree so it can be a jit ARGUMENT: index arrays must
@@ -327,14 +375,22 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
     n_sa = di.n_sa
     kmer_bits = di.kmer_bits
     has_ktext = di.ktext is not None
+    has_rk = di.rk is not None
     shift = jnp.uint32(32 - bits)
     rel_mask = jnp.uint32((1 << (32 - bits)) - 1) if bits < 32 else jnp.uint32(0)
     n_segs = max(1, -(-(max_read_words * 16) // 32))
+    # MODE-4 compare shape: 48 bases ride the rank-row gather, the rest in
+    # 64-base text-position rows; pattern words are prefetched per (row,
+    # pivot) into a ctx so probe rounds do ZERO query-buffer gathers
+    n_deep = max(0, -(-(max_read_words * 16 - 48) // 64))
+    n_ctx_words = 3 + 4 * n_deep
     if root == "kmer":
         tab = np.asarray(di.kmer_table)
         max_width = int(np.max(tab[1:] - tab[:-1])) if len(tab) > 1 else 1
     else:
-        max_width = int(np.max(np.asarray(di.err_lo) + np.asarray(di.err_hi)))
+        p_host = np.asarray(di.params)
+        max_width = int(np.max(p_host[:, 4].astype(np.int64)
+                               + p_host[:, 5].astype(np.int64)))
     # exact: a lower_bound over an exclusive window of width W converges in
     # ceil(log2(W+1)) halving rounds (verified exhaustively in tests)
     lb_rounds = max(1, int(np.ceil(np.log2(max_width + 1))) if max_width else 1)
@@ -381,6 +437,14 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
                 skhi = jnp.where(in_range, g[..., 0], FULL)
                 sklo = jnp.where(in_range, g[..., 1], FULL)
                 return skhi, sklo
+
+            def rk_at(rank):
+                return _owned(d.rk, jnp.clip(rank, 0, n_sa - 1))
+
+            def kt64_at(pos):
+                in_range = (pos < n_sa)[..., None]
+                g = _owned(d.kt64, jnp.clip(pos, 0, n_sa - 1))
+                return jnp.where(in_range, g, FULL)
         else:
             def sa_at(rank):
                 return jnp.take(d.sa, jnp.clip(rank, 0, n_sa - 1),
@@ -399,6 +463,16 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
                 sklo = jnp.where(in_range, g[..., 1], FULL)
                 return skhi, sklo
 
+            def rk_at(rank):
+                return jnp.take(d.rk, jnp.clip(rank, 0, n_sa - 1), axis=0,
+                                mode="clip")
+
+            def kt64_at(pos):
+                in_range = (pos < n_sa)[..., None]
+                g = jnp.take(d.kt64, jnp.clip(pos, 0, n_sa - 1), axis=0,
+                             mode="clip")
+                return jnp.where(in_range, g, FULL)
+
         def kmer_window(khi, klo):
             m = (khi >> jnp.uint32(32 - 2 * kmer_bits)).astype(jnp.int32)
             lo = jnp.take(d.kmer_table, m, mode="clip")
@@ -409,17 +483,17 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             leaf = (khi >> shift).astype(jnp.int32)
             rel = (khi & rel_mask).astype(jnp.float32) * jnp.float32(4294967296.0) \
                 + klo.astype(jnp.float32)
-            ls = jnp.take(d.leaf_start, leaf, mode="clip")
-            le = jnp.take(d.leaf_start, leaf + 1, mode="clip")
+            # one fused 24-byte row gather: (ls, le, alpha, beta, elo, ehi)
+            rec = jnp.take(d.params, leaf, axis=0, mode="clip")
+            ls = rec[..., 0].astype(jnp.int32)
+            le = rec[..., 1].astype(jnp.int32)
+            alpha = jax.lax.bitcast_convert_type(rec[..., 2], jnp.float32)
+            beta = jax.lax.bitcast_convert_type(rec[..., 3], jnp.float32)
             cnt = (le - ls).astype(jnp.float32)
-            predf = jnp.clip(
-                jnp.take(d.alpha, leaf, mode="clip")
-                + jnp.take(d.beta, leaf, mode="clip") * rel,
-                0.0, cnt,
-            )
+            predf = jnp.clip(alpha + beta * rel, 0.0, cnt)
             pred = ls + predf.astype(jnp.int32)
-            lo = jnp.maximum(pred - jnp.take(d.err_lo, leaf, mode="clip"), 0)
-            hi = jnp.minimum(pred + jnp.take(d.err_hi, leaf, mode="clip"), n_sa)
+            lo = jnp.maximum(pred - rec[..., 4].astype(jnp.int32), 0)
+            hi = jnp.minimum(pred + rec[..., 5].astype(jnp.int32), n_sa)
             return lo, hi
 
         rmi_window = kmer_window if root == "kmer" else prmi_window
@@ -535,14 +609,109 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
                              jnp.where(sa_idx >= n_sa, False, less))
             return less, lcp
 
-        if has_ktext:
-            suffix_cmp = suffix_cmp_flat
-        elif di.key2 is not None:
-            suffix_cmp = suffix_cmp_deep
-        else:
-            suffix_cmp = suffix_cmp_pos_only
+        # ------------------------------------------------------------ MODE-4
+        def _multiword_cmp(swords, kwords, total):
+            """(less, lcp_bases) of suffix words vs pattern words (16 bases
+            per uint32 word, MSB-first); lcp == total when all equal."""
+            shp = jnp.shape(swords[0])
+            lcp = jnp.full(shp, jnp.int32(total))
+            less = jnp.zeros(shp, jnp.bool_)
+            found = jnp.zeros(shp, jnp.bool_)
+            for i, (sw, kw) in enumerate(zip(swords, kwords)):
+                x = sw ^ kw
+                diff = x != 0
+                new = diff & (~found)
+                lcp = jnp.where(new, 16 * i + _lcp_bases32(x), lcp)
+                less = jnp.where(new, sw < kw, less)
+                found = found | diff
+            return less, lcp
 
-        def lower_bound(qbuf32, row, pivot, v, wlo, whi, strict_greater=False):
+        def make_ctx_rk(qbuf32, row, pivot):
+            """Prefetch the pattern's aligned 16-base words for (row, pivot):
+            ONE contiguous row gather + in-register shifts. Every probe round
+            then reads pattern words from registers — no qbuf gathers."""
+            W = qbuf32.shape[1]
+            qrow = jnp.take(qbuf32, row, axis=0, mode="clip")   # (L, W)
+            base = pivot >> 4
+            kk = jnp.arange(n_ctx_words + 1, dtype=jnp.int32)
+            idx = jnp.clip(base[:, None] + kk[None, :], 0, W - 1)
+            w = jnp.take_along_axis(qrow, idx, axis=1)          # (L, K+1)
+            sh = (pivot.astype(jnp.uint32) & jnp.uint32(15))[:, None] * jnp.uint32(2)
+            return _combine(w[:, :-1], w[:, 1:], sh)            # (L, K)
+
+        def cmp_ctx_rk(aw, v, sa_idx):
+            """(less, lcp) of suffix rank sa_idx vs the ctx pattern[:v]:
+            rank row (position + 48 bases) in ONE 16-byte gather, deeper
+            bases in independent 64-base text-position rows."""
+            idx = jnp.clip(sa_idx, 0, n_sa - 1)
+            r0 = rk_at(idx)                                     # (..., 4)
+            sa_pos = r0[..., 0].astype(jnp.int32)
+            less, l48 = _multiword_cmp(
+                [r0[..., 1], r0[..., 2], r0[..., 3]],
+                [aw[:, 0], aw[:, 1], aw[:, 2]], 48)
+            vc = jnp.clip(v, 0, 48)
+            diffb = l48 < vc
+            lcp = jnp.minimum(l48, vc)
+            less = jnp.where(diffb, less, False)
+            resolved = diffb | (v <= 48)
+            for k in range(n_deep):
+                off = 48 + 64 * k
+                dr = kt64_at(sa_pos + off)                      # (..., 4)
+                lk, l64 = _multiword_cmp(
+                    [dr[..., 0], dr[..., 1], dr[..., 2], dr[..., 3]],
+                    [aw[:, 3 + 4 * k], aw[:, 4 + 4 * k],
+                     aw[:, 5 + 4 * k], aw[:, 6 + 4 * k]], 64)
+                rem = v - off
+                vck = jnp.clip(rem, 0, 64)
+                diffk = l64 < vck
+                lck = off + jnp.minimum(l64, vck)
+                lk = jnp.where(diffk, lk, False)
+                less = jnp.where(resolved, less, lk)
+                lcp = jnp.where(resolved, lcp, lck)
+                resolved = resolved | diffk | (rem <= 64)
+            oob = (sa_idx < 0) | (sa_idx >= n_sa)
+            lcp = jnp.where(oob, 0, lcp)
+            less = jnp.where(sa_idx < 0, True,
+                             jnp.where(sa_idx >= n_sa, False, less))
+            return less, lcp
+
+        if has_rk:
+            def make_ctx(qbuf32, row, pivot):
+                return make_ctx_rk(qbuf32, row, pivot)
+
+            cmp_ctx = cmp_ctx_rk
+
+            def ctx_tile(aw, n):
+                return jnp.concatenate([aw] * n)
+
+            def ctx_first_words(aw):
+                return aw[:, 0], aw[:, 1]
+
+            def suffix_cmp(qbuf32, row, pivot, v, sa_idx):
+                return cmp_ctx_rk(make_ctx_rk(qbuf32, row, pivot), v, sa_idx)
+        else:
+            if has_ktext:
+                suffix_cmp = suffix_cmp_flat
+            elif di.key2 is not None:
+                suffix_cmp = suffix_cmp_deep
+            else:
+                suffix_cmp = suffix_cmp_pos_only
+
+            def make_ctx(qbuf32, row, pivot):
+                return (qbuf32, row, pivot)
+
+            def cmp_ctx(ctx, v, sa_idx):
+                return suffix_cmp(*ctx, v, sa_idx)
+
+            def ctx_tile(ctx, n):
+                qbuf32, row, pivot = ctx
+                return (qbuf32, jnp.concatenate([row] * n),
+                        jnp.concatenate([pivot] * n))
+
+            def ctx_first_words(ctx):
+                return extract_pattern_words(*ctx)
+
+        def lower_bound_ctx(ctx, v, wlo, whi, strict_greater=False):
             """First index in [wlo, whi] where suffix >= pattern[:v]
             (or > pattern[:v] when strict_greater -- may also be a per-lane
             bool array). Fixed-round unrolled binary search (window width
@@ -553,7 +722,7 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
                 strict = jnp.asarray(strict)
             for _ in range(lb_rounds):
                 mid = (lo + hi) >> 1
-                less, lcp = suffix_cmp(qbuf32, row, pivot, v, mid)
+                less, lcp = cmp_ctx(ctx, v, mid)
                 if isinstance(strict, bool):
                     pred = less | (lcp >= v) if strict else less
                 else:
@@ -563,28 +732,30 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
                 hi = jnp.where(active & (~pred), mid, hi)
             return lo
 
-        def find_longest(qbuf32, row, pivot, v):
-            """Max LCP of pattern over the whole SA: (mlen, best_ip). The
-            two boundary probes (ip-1, ip) ride ONE double-wide round."""
-            khi, klo = extract_pattern_words(qbuf32, row, pivot)
+        def lower_bound(qbuf32, row, pivot, v, wlo, whi, strict_greater=False):
+            return lower_bound_ctx(make_ctx(qbuf32, row, pivot), v, wlo, whi,
+                                   strict_greater)
+
+        def find_longest_ctx(ctx, v):
+            khi, klo = ctx_first_words(ctx)
             keep_hi, keep_lo = keep_masks(v)
             khi_p = (khi & keep_hi) | ~keep_hi
             klo_p = (klo & keep_lo) | ~keep_lo
             wlo, whi = rmi_window(khi_p, klo_p)
-            ip = lower_bound(qbuf32, row, pivot, v, wlo, whi)
-            L = row.shape[0]
-            row2 = jnp.concatenate([row, row])
-            piv2 = jnp.concatenate([pivot, pivot])
+            ip = lower_bound_ctx(ctx, v, wlo, whi)
+            L = ip.shape[0]
+            ctx2 = ctx_tile(ctx, 2)
             v2 = jnp.concatenate([v, v]) if jnp.ndim(v) else v
-            _, l01 = suffix_cmp(qbuf32, row2, piv2, v2,
-                                jnp.concatenate([ip - 1, ip]))
+            _, l01 = cmp_ctx(ctx2, v2, jnp.concatenate([ip - 1, ip]))
             return jnp.maximum(l01[:L], l01[L:]), ip
 
-        def interval_at(qbuf32, row, pivot, l):
-            """(lb, count) of the SA interval of prefix pattern[:l]. Both
-            bounds ride ONE double-wide unrolled search (per-lane strict
-            flag) -- half the sequential probe rounds of two searches."""
-            khi, klo = extract_pattern_words(qbuf32, row, pivot)
+        def find_longest(qbuf32, row, pivot, v):
+            """Max LCP of pattern over the whole SA: (mlen, best_ip). The
+            two boundary probes (ip-1, ip) ride ONE double-wide round."""
+            return find_longest_ctx(make_ctx(qbuf32, row, pivot), v)
+
+        def interval_at_ctx(ctx, l):
+            khi, klo = ctx_first_words(ctx)
             keep_hi, keep_lo = keep_masks(l)
             khi_a = khi & keep_hi
             klo_a = klo & keep_lo
@@ -592,19 +763,24 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             klo_t = klo_a | ~keep_lo
             wlo_a, whi_a = rmi_window(khi_a, klo_a)
             wlo_t, whi_t = rmi_window(khi_t, klo_t)
-            row2 = jnp.concatenate([row, row])
-            piv2 = jnp.concatenate([pivot, pivot])
+            ctx2 = ctx_tile(ctx, 2)
             l2 = jnp.concatenate([l, l]) if jnp.ndim(l) else l
             wlo2 = jnp.concatenate([wlo_a, wlo_t])
             whi2 = jnp.concatenate([whi_a, whi_t])
-            L = row.shape[0]
+            L = wlo_a.shape[0]
             strict2 = jnp.concatenate([
                 jnp.zeros(L, jnp.bool_), jnp.ones(L, jnp.bool_)])
-            res = lower_bound(qbuf32, row2, piv2, l2, wlo2, whi2,
-                              strict_greater=strict2)
+            res = lower_bound_ctx(ctx2, l2, wlo2, whi2,
+                                  strict_greater=strict2)
             lb = res[:L]
             ub = res[L:]
             return lb, ub - lb
+
+        def interval_at(qbuf32, row, pivot, l):
+            """(lb, count) of the SA interval of prefix pattern[:l]. Both
+            bounds ride ONE double-wide unrolled search (per-lane strict
+            flag) -- half the sequential probe rounds of two searches."""
+            return interval_at_ctx(make_ctx(qbuf32, row, pivot), l)
 
         def lcp_at(qbuf32, row, pivot, cap, sa_idx):
             """LCP of suffix sa[sa_idx] with pattern[:cap]."""
@@ -613,10 +789,12 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
 
         def sa_query_min1(qbuf32, row, pivot, v):
             """sa_query specialized to min_intv == 1 (every step-1 query):
-            loop-free."""
-            mlen, _ = find_longest(qbuf32, row, pivot, jnp.maximum(v, 1))
+            loop-free; the pattern ctx is prefetched ONCE and shared by all
+            ~2*lb_rounds+2 probe rounds."""
+            ctx = make_ctx(qbuf32, row, pivot)
+            mlen, _ = find_longest_ctx(ctx, jnp.maximum(v, 1))
             mlen = jnp.where(v <= 0, 0, mlen)
-            lb, cnt = interval_at(qbuf32, row, pivot, jnp.maximum(mlen, 1))
+            lb, cnt = interval_at_ctx(ctx, jnp.maximum(mlen, 1))
             lb = jnp.where(mlen == 0, 0, lb)
             cnt = jnp.where(mlen == 0, n_sa, cnt)
             return mlen, lb, cnt
@@ -624,8 +802,11 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
         def sa_query(qbuf32, row, pivot, v, min_intv):
             """The widening fixed point: longest l with interval count >=
             min_intv. Returns (l, lb, cnt); v==0 lanes are inert."""
-            mlen, _ = find_longest(qbuf32, row, pivot, jnp.maximum(v, 1))
+            ctx = make_ctx(qbuf32, row, pivot)
+            ctx2 = ctx_tile(ctx, 2)
+            mlen, _ = find_longest_ctx(ctx, jnp.maximum(v, 1))
             mlen = jnp.where(v <= 0, 0, mlen)
+            L = mlen.shape[0]
 
             def cond(st):
                 mlen, lb, cnt, done = st
@@ -634,15 +815,12 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             def body(st):
                 mlen, lb, cnt, done = st
                 l_eff = jnp.maximum(mlen, 1)
-                lb2, cnt2 = interval_at(qbuf32, row, pivot, l_eff)
+                lb2, cnt2 = interval_at_ctx(ctx, l_eff)
                 lb2 = jnp.where(mlen == 0, 0, lb2)
                 cnt2 = jnp.where(mlen == 0, n_sa, cnt2)
                 sat = (cnt2 >= min_intv) | (mlen == 0)
-                L = row.shape[0]
-                _, l01 = suffix_cmp(
-                    qbuf32, jnp.concatenate([row, row]),
-                    jnp.concatenate([pivot, pivot]),
-                    jnp.concatenate([l_eff, l_eff]),
+                _, l01 = cmp_ctx(
+                    ctx2, jnp.concatenate([l_eff, l_eff]),
                     jnp.concatenate([lb2 - 1, lb2 + cnt2]))
                 nxt = jnp.maximum(l01[:L], l01[L:])
                 new_mlen = jnp.where(done | sat, mlen, nxt)

@@ -128,10 +128,11 @@ def test_fully_fused_steps_parity(engines):
         assert got == [(s.start, s.end, s.sa_lo, s.hitcount) for s in x]
 
 
-@pytest.mark.parametrize("mode", [1, 2])
+@pytest.mark.parametrize("mode", [1, 2, 3])
 def test_memory_tier_parity(engines, mode):
-    """MODE tiers (reference MODE=1/2/3 memory axis): the positions-only
-    and rank-key layouts seed identically to the default ktext layout."""
+    """MODE tiers (reference MODE=1/2/3 memory axis): the positions-only,
+    rank-key and ktext layouts seed identically to the default (mode-4
+    fused rank-row) layout the other tests exercise."""
     host_eng, _dev_eng, idx, rng = engines
     eng = DeviceSeedingEngine(idx, MemOptions(), lanes=256, mode=mode)
     reads = []
