@@ -23,12 +23,23 @@ class Read:
 
 
 def _open(path: str):
-    """Open a reads source: plain file, .gz, or '-' for stdin (the file/pipe
-    subset of the reference's kopen, src/kopen.cpp)."""
+    """Open a reads source: plain file, .gz, '-' for stdin, or an
+    http(s)/ftp/file URL — the full source set of the reference's kopen
+    (src/kopen.cpp: file/pipe at :49-60, http at :250-313, ftp at :134-248).
+    URL streams are wrapped for line iteration and gunzipped when the path
+    ends in .gz."""
     if path == "-":
         import sys
 
         return sys.stdin
+    if path.split(":", 1)[0] in ("http", "https", "ftp", "file"):
+        import io
+        import urllib.request
+
+        raw = urllib.request.urlopen(path)
+        if path.split("?", 1)[0].endswith(".gz"):
+            return io.TextIOWrapper(gzip.GzipFile(fileobj=raw))
+        return io.TextIOWrapper(raw)
     return gzip.open(path, "rt") if path.endswith(".gz") else open(path, "rt")
 
 
