@@ -115,6 +115,10 @@ def run_dryrun(n_devices: int) -> None:
     # ---- seeding scaling probe over shard counts ----
     shard_counts = sorted({1, 2, n_devices} & set(range(1, n_devices + 1)))
     probe = _scaling_probe(idx, opt, shard_counts, devices)
+    print("[dryrun] note: virtual devices share ONE host core, so shard "
+          "counts contend instead of scaling — this probe validates the "
+          "sharded program, not ICI scaling efficiency (that needs real "
+          "chips)", flush=True)
     print(f"[dryrun] sa_query scaling probe (reads/s by shards): {probe}",
           file=sys.stderr)
     print(f"[dryrun] OK: full pipeline on {n_devices} devices, SAM "
