@@ -45,6 +45,11 @@ def ensure_ref_bin() -> str:
 
 def write_workload(cache: str, mbp: int):
     """FASTA + FASTQ of bench.py's exact contig and reads (same RNG)."""
+    fa = os.path.join(cache, f"bench_{mbp}mbp.fa")
+    fq = os.path.join(cache, f"bench_reads_{mbp}mbp.fq")
+    if os.path.exists(fa) and os.path.exists(fq):
+        n_reads = sum(1 for line in open(fq) if line.startswith("@"))
+        return fa, fq, n_reads
     import bench
 
     idx = bench.get_index()
