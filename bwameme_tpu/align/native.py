@@ -93,6 +93,14 @@ def _load():
             ctypes.c_int64, i32p, i32p, i32p, i32p, i32p, i32p, i32p,  # right
         ]
         lib.extend_finalize_c.restype = None
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.extract_key64_c.argtypes = [u32p, i64p, ctypes.c_int64, u64p]
+        lib.extract_key64_c.restype = None
+        lib.invert_sa_c.argtypes = [i64p, ctypes.c_int64, i64p]
+        lib.invert_sa_c.restype = None
+        lib.filter_lt_c.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64,
+                                    i64p]
+        lib.filter_lt_c.restype = ctypes.c_int64
         _lib = lib
     except (OSError, RuntimeError, AttributeError) as e:
         from bwameme_tpu.utils import fallbacks
@@ -320,3 +328,42 @@ def sw_extend_native(query, target, mat, o_del, e_del, o_ins, e_ins, w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out
+
+
+def _p(arr, ct):
+    return arr.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def extract_key64_native(words, pos):
+    """One-pass C++ key extraction (see hostkernels.cpp); None w/o lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    words = np.ascontiguousarray(words, dtype=np.uint32)
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    out = np.empty(len(pos), dtype=np.uint64)
+    lib.extract_key64_c(_p(words, ctypes.c_uint32), _p(pos, ctypes.c_int64),
+                        len(pos), _p(out, ctypes.c_uint64))
+    return out
+
+
+def invert_sa_native(sa):
+    lib = _load()
+    if lib is None:
+        return None
+    sa = np.ascontiguousarray(sa, dtype=np.int64)
+    out = np.empty(len(sa), dtype=np.int64)
+    lib.invert_sa_c(_p(sa, ctypes.c_int64), len(sa),
+                    _p(out, ctypes.c_int64))
+    return out
+
+
+def filter_lt_native(sa, limit):
+    lib = _load()
+    if lib is None:
+        return None
+    sa = np.ascontiguousarray(sa, dtype=np.int64)
+    out = np.empty(len(sa), dtype=np.int64)
+    k = lib.filter_lt_c(_p(sa, ctypes.c_int64), len(sa), int(limit),
+                        _p(out, ctypes.c_int64))
+    return out[:k].copy()

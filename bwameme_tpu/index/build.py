@@ -88,10 +88,14 @@ def build_index(
     rmi_bits: int | None = None,
     train: bool = True,
 ) -> MemeIndex:
+    from bwameme_tpu.align.native import filter_lt_native, invert_sa_native
+
     text, pad = build_text(bns.code)
     sa_full = build_suffix_array(text)
     n_keep = 2 * bns.l_pac
-    sa = sa_full[sa_full < n_keep]
+    sa = filter_lt_native(sa_full, n_keep)
+    if sa is None:
+        sa = sa_full[sa_full < n_keep]
     assert len(sa) == n_keep
 
     keys = extract_key64(text, sa, pad_code=3)
@@ -100,8 +104,10 @@ def build_index(
 
     isa = None
     if with_isa:
-        isa = np.empty(n_keep, dtype=np.int64)
-        isa[sa] = np.arange(n_keep, dtype=np.int64)
+        isa = invert_sa_native(sa)
+        if isa is None:
+            isa = np.empty(n_keep, dtype=np.int64)
+            isa[sa] = np.arange(n_keep, dtype=np.int64)
 
     text32 = np.concatenate([
         pack_words(text, pad_code=3),

@@ -102,6 +102,13 @@ def extract_key64(code: np.ndarray, pos: np.ndarray, pad_code: int = 3) -> np.nd
         pack_words(code, pad_code=pad_code),
         np.full(3, _word_fill(pad_code), dtype=np.uint32),
     ])
+    # the one-pass C++ kernel (~100x on the throttled build hosts, where
+    # each numpy gather pass over 10^8+ entries costs minutes)
+    from bwameme_tpu.align.native import extract_key64_native
+
+    out = extract_key64_native(words, pos)
+    if out is not None:
+        return out
     wi = pos >> 4
     sh = ((pos & 15) << 1).astype(np.uint32)
     w0 = words[wi].astype(np.uint64)

@@ -907,3 +907,47 @@ void extend_finalize_c(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Index-build helpers: linear passes that numpy runs 10-100x slower on the
+// throttled build hosts (the analog of the reference's OpenMP key
+// regeneration in get_key_of_ref, src/fastmap.cpp:537-612).
+
+extern "C" {
+
+// 32-base 2-bit keys (MSB-first uint64) of the suffixes at pos[i], read from
+// the packed text words (16 bases/uint32, MSB-first). `words` must carry >=2
+// guard words past the last text word (all-T fill), matching
+// packing.extract_key64's layout.
+void extract_key64_c(const uint32_t* words, const int64_t* pos, int64_t n,
+                     uint64_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t p = pos[i];
+    int64_t wi = p >> 4;
+    uint32_t sh = (uint32_t)((p & 15) << 1);
+    uint64_t hi64 = ((uint64_t)words[wi] << 32) | words[wi + 1];
+    if (sh == 0) {
+      out[i] = hi64;
+    } else {
+      out[i] = (hi64 << sh) | (words[wi + 2] >> (32 - sh));
+    }
+  }
+}
+
+// out[sa[i]] = i for every entry (inverse suffix array).
+void invert_sa_c(const int64_t* sa, int64_t n, int64_t* out) {
+  for (int64_t i = 0; i < n; ++i) out[sa[i]] = i;
+}
+
+// Copy the entries of `sa` that are < limit into `out` (stable order);
+// returns the count. One pass instead of numpy's mask+fancy-index pair.
+int64_t filter_lt_c(const int64_t* sa, int64_t n, int64_t limit,
+                    int64_t* out) {
+  int64_t k = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (sa[i] < limit) out[k++] = sa[i];
+  }
+  return k;
+}
+
+}  // extern "C"
