@@ -101,6 +101,8 @@ def _load():
         lib.filter_lt_c.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64,
                                     i64p]
         lib.filter_lt_c.restype = ctypes.c_int64
+        lib.longest_runs_c.argtypes = [u8p, ctypes.c_int64, i64p, i64p]
+        lib.longest_runs_c.restype = None
         _lib = lib
     except (OSError, RuntimeError, AttributeError) as e:
         from bwameme_tpu.utils import fallbacks
@@ -356,6 +358,19 @@ def invert_sa_native(sa):
     lib.invert_sa_c(_p(sa, ctypes.c_int64), len(sa),
                     _p(out, ctypes.c_int64))
     return out
+
+
+def longest_runs_native(x):
+    """(longest A run, longest T run) in one pass; None w/o lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.uint8)
+    a = ctypes.c_int64(0)
+    t = ctypes.c_int64(0)
+    lib.longest_runs_c(_p(x, ctypes.c_uint8), len(x), ctypes.byref(a),
+                       ctypes.byref(t))
+    return int(a.value), int(t.value)
 
 
 def filter_lt_native(sa, limit):

@@ -36,6 +36,7 @@ def build_text(code: np.ndarray) -> tuple[np.ndarray, int]:
     """forward + reverse-complement + T padding; returns (text, pad_len)."""
     rc = (3 - code[::-1]).astype(np.uint8)
     body = np.concatenate([code, rc])
+
     # longest run of A (0) and of T (3) over the concatenated text
     def longest_run(x: np.ndarray, v: int) -> int:
         m = np.r_[False, x == v, False]
@@ -44,7 +45,12 @@ def build_text(code: np.ndarray) -> tuple[np.ndarray, int]:
         ends = np.flatnonzero(d == -1)
         return int((ends - starts).max()) if len(starts) else 0
 
-    pad = max(longest_run(body, 0), longest_run(body, 3)) + 1
+    from bwameme_tpu.align.native import longest_runs_native
+
+    runs = longest_runs_native(body)
+    if runs is None:
+        runs = (longest_run(body, 0), longest_run(body, 3))
+    pad = max(runs) + 1
     text = np.concatenate([body, np.full(pad, 3, dtype=np.uint8)])
     return text, pad
 

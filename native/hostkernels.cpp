@@ -951,3 +951,22 @@ int64_t filter_lt_c(const int64_t* sa, int64_t n, int64_t limit,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Longest run lengths of code 0 (A) and code 3 (T) in one pass.
+void longest_runs_c(const uint8_t* x, int64_t n, int64_t* out_a,
+                    int64_t* out_t) {
+  int64_t best_a = 0, best_t = 0, run_a = 0, run_t = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t v = x[i];
+    run_a = (v == 0) ? run_a + 1 : 0;
+    run_t = (v == 3) ? run_t + 1 : 0;
+    if (run_a > best_a) best_a = run_a;
+    if (run_t > best_t) best_t = run_t;
+  }
+  *out_a = best_a;
+  *out_t = best_t;
+}
+
+}  // extern "C"
