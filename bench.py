@@ -134,8 +134,9 @@ def main():
     reads = make_reads(idx, rng)
 
     _log("building device engine (index upload)")
+    mode = os.environ.get("BWAMEME_BENCH_MODE")
     eng = DeviceSeedingEngine(
-        idx, opt, lanes=BATCH,
+        idx, opt, lanes=BATCH, mode=(int(mode) if mode else None),
         **({"root": "kmer", "ert_bits": 0} if ROOT == "kmer" else {}))
     _log("engine ready; warmup")
     # warmup/compile: run the first full-size batch once (same shapes as

@@ -25,9 +25,12 @@ def _load():
     try:
         if (not os.path.exists(_LIB)) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
             os.makedirs(os.path.dirname(_LIB), exist_ok=True)
+            # -ffp-contract=off: the P-RMI trainer's f32 residual pass must
+            # round multiply and add separately, exactly like the numpy
+            # reference (fma contraction would shift predictions ~1 ulp)
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-                 "-o", _LIB],
+                ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                 "-shared", "-fPIC", _SRC, "-o", _LIB],
                 check=True, capture_output=True,
             )
         lib = ctypes.CDLL(_LIB)
@@ -103,6 +106,11 @@ def _load():
         lib.filter_lt_c.restype = ctypes.c_int64
         lib.longest_runs_c.argtypes = [u8p, ctypes.c_int64, i64p, i64p]
         lib.longest_runs_c.restype = None
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.train_prmi_c.argtypes = [u32p, u32p, ctypes.c_int64,
+                                     ctypes.c_int32, ctypes.c_int32,
+                                     i64p, f32p, f32p, i32p, i32p]
+        lib.train_prmi_c.restype = None
         _lib = lib
     except (OSError, RuntimeError, AttributeError) as e:
         from bwameme_tpu.utils import fallbacks
@@ -382,3 +390,26 @@ def filter_lt_native(sa, limit):
     k = lib.filter_lt_c(_p(sa, ctypes.c_int64), len(sa), int(limit),
                         _p(out, ctypes.c_int64))
     return out[:k].copy()
+
+
+def train_prmi_native(key_hi, key_lo, bits, margin):
+    """Two-pass C++ P-RMI trainer (see hostkernels.cpp); returns
+    (leaf_start i64[L+1], alpha f32[L], beta f32[L], err_lo i32[L],
+    err_hi i32[L]) or None without the lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    key_hi = np.ascontiguousarray(key_hi, dtype=np.uint32)
+    key_lo = np.ascontiguousarray(key_lo, dtype=np.uint32)
+    L = 1 << bits
+    leaf_start = np.empty(L + 1, dtype=np.int64)
+    alpha = np.empty(L, dtype=np.float32)
+    beta = np.empty(L, dtype=np.float32)
+    err_lo = np.empty(L, dtype=np.int32)
+    err_hi = np.empty(L, dtype=np.int32)
+    lib.train_prmi_c(_p(key_hi, ctypes.c_uint32), _p(key_lo, ctypes.c_uint32),
+                     len(key_hi), int(bits), int(margin),
+                     _p(leaf_start, ctypes.c_int64),
+                     _p(alpha, ctypes.c_float), _p(beta, ctypes.c_float),
+                     _p(err_lo, ctypes.c_int32), _p(err_hi, ctypes.c_int32))
+    return leaf_start, alpha, beta, err_lo, err_hi

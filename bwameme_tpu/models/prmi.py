@@ -32,6 +32,20 @@ import numpy as np
 
 def train_prmi(idx, bits: int, margin: int = 2) -> None:
     """Fit the P-RMI over idx.key_hi/key_lo (sorted); fills idx.rmi_* fields."""
+    from bwameme_tpu.align.native import train_prmi_native
+
+    nat = train_prmi_native(idx.key_hi, idx.key_lo, bits, margin)
+    if nat is not None:
+        # two-pass C++ trainer (same least-squares + guaranteed-window
+        # semantics; f32 residuals round exactly like this module's numpy)
+        leaf_start, alpha, beta, err_lo, err_hi = nat
+        idx.rmi_bits = bits
+        idx.rmi_alpha = alpha
+        idx.rmi_beta = beta
+        idx.rmi_err_lo = err_lo
+        idx.rmi_err_hi = err_hi
+        idx.rmi_leaf_start = leaf_start
+        return
     key_hi = idx.key_hi
     key_lo = idx.key_lo
     n = len(key_hi)

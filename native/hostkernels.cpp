@@ -970,3 +970,85 @@ void longest_runs_c(const uint8_t* x, int64_t n, int64_t* out_a,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// P-RMI training (models/prmi.py's exact semantics) in two passes over the
+// sorted keys: pass 1 accumulates per-leaf least-squares moments (keys are
+// sorted, so leaves are contiguous segments); pass 2 re-evaluates the f32
+// leaf models the way the device does and takes per-leaf residual maxima.
+// Compile with -ffp-contract=off so the f32 predict matches numpy's
+// two-rounding (mul then add) — the margin only has to absorb the DEVICE's
+// fma drift, not the trainer's.
+void train_prmi_c(const uint32_t* key_hi, const uint32_t* key_lo, int64_t n,
+                  int32_t bits, int32_t margin,
+                  int64_t* leaf_start,   // [L+1]
+                  float* alpha, float* beta,  // [L]
+                  int32_t* err_lo, int32_t* err_hi) {  // [L]
+  const int64_t L = (int64_t)1 << bits;
+  const uint32_t shift = (uint32_t)(32 - bits);
+  const uint32_t mask =
+      bits < 32 ? (uint32_t)(((uint64_t)1 << (32 - bits)) - 1) : 0u;
+
+  // pass 1: leaf boundaries + per-leaf moments
+  std::vector<double> s1(L, 0.0), sx(L, 0.0), sy(L, 0.0), sxx(L, 0.0),
+      sxy(L, 0.0);
+  {
+    int64_t prev = -1;
+    int64_t seg_start = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t leaf = (int64_t)(key_hi[i] >> shift);
+      if (leaf != prev) {
+        for (int64_t l = prev + 1; l <= leaf; ++l) leaf_start[l] = i;
+        prev = leaf;
+        seg_start = i;
+      }
+      double rel =
+          (double)(key_hi[i] & mask) * 4294967296.0 + (double)key_lo[i];
+      double y = (double)(i - seg_start);
+      s1[leaf] += 1.0;
+      sx[leaf] += rel;
+      sy[leaf] += y;
+      sxx[leaf] += rel * rel;
+      sxy[leaf] += rel * y;
+    }
+    for (int64_t l = prev + 1; l <= L; ++l) leaf_start[l] = n;
+  }
+  for (int64_t l = 0; l < L; ++l) {
+    double c = s1[l] > 1.0 ? s1[l] : 1.0;
+    double var = sxx[l] - sx[l] * sx[l] / c;
+    double cov = sxy[l] - sx[l] * sy[l] / c;
+    double b = var > 0.0 ? cov / (var > 1e-300 ? var : 1e-300) : 0.0;
+    if (b < 0.0 || b != b || b > 1e300) b = 0.0;  // monotone + finite
+    double a = s1[l] > 0.0 ? (sy[l] - b * sx[l]) / c : 0.0;
+    if (a != a || a > 1e300 || a < -1e300) a = 0.0;
+    alpha[l] = (float)a;
+    beta[l] = (float)b;
+    err_lo[l] = 0;
+    err_hi[l] = 0;
+  }
+
+  // pass 2: guaranteed error windows under the device's f32 arithmetic
+  std::vector<int64_t> over(L, 0), under(L, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t leaf = (int64_t)(key_hi[i] >> shift);
+    float rel32 =
+        (float)(key_hi[i] & mask) * 4294967296.0f + (float)key_lo[i];
+    float predf = alpha[leaf] + beta[leaf] * rel32;
+    float cnt = (float)(leaf_start[leaf + 1] - leaf_start[leaf]);
+    if (!(predf > 0.0f)) predf = 0.0f;  // NaN -> 0, matching np.clip
+    if (predf > cnt) predf = cnt;
+    int64_t pred_i = leaf_start[leaf] + (int64_t)predf;
+    int64_t o = pred_i - i, u = i - pred_i;
+    if (o > over[leaf]) over[leaf] = o;
+    if (u > under[leaf]) under[leaf] = u;
+  }
+  for (int64_t l = 0; l < L; ++l) {
+    int64_t elo = (over[l] > 0 ? over[l] : 0) + margin;
+    int64_t ehi = (under[l] > 0 ? under[l] : 0) + 1 + margin;
+    err_lo[l] = (int32_t)(elo > 0x7FFFFFFF ? 0x7FFFFFFF : elo);
+    err_hi[l] = (int32_t)(ehi > 0x7FFFFFFF ? 0x7FFFFFFF : ehi);
+  }
+}
+
+}  // extern "C"
