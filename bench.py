@@ -135,15 +135,37 @@ def main():
 
     _log("building device engine (index upload)")
     mode = os.environ.get("BWAMEME_BENCH_MODE")
-    eng = DeviceSeedingEngine(
-        idx, opt, lanes=BATCH, mode=(int(mode) if mode else None),
-        **({"root": "kmer", "ert_bits": 0} if ROOT == "kmer" else {}))
+    if ROOT == "fmi":
+        from bwameme_tpu.index.fmindex import (build_fm_index, load_fm_index,
+                                               save_fm_index)
+        from bwameme_tpu.seeding.fmi_engine import FmiDeviceEngine
+
+        prefix = os.path.join(CACHE, f"bench_{int(REF_MBP)}mbp")
+        try:
+            fm = load_fm_index(prefix)
+        except (OSError, KeyError):
+            _log("building FM index for the fmi backend bench")
+            fm = build_fm_index(idx.bns.code)
+            save_fm_index(prefix, fm)
+        eng = FmiDeviceEngine(idx, opt, fm=fm, lanes=BATCH)
+    else:
+        eng = DeviceSeedingEngine(
+            idx, opt, lanes=BATCH, mode=(int(mode) if mode else None),
+            **({"root": "kmer", "ert_bits": 0} if ROOT == "kmer" else {}))
     _log("engine ready; warmup")
+
+    def seed_batch(batch):
+        """Flat compacted path when the engine offers it (learned/ERT),
+        batched lists otherwise (fmi)."""
+        if hasattr(eng, "sorted_smems_batch_flat"):
+            f = eng.sorted_smems_batch_flat(batch)
+            return None if f is None else len(f.start)
+        return sum(len(s) for s in eng.sorted_smems_batch(batch))
+
     # warmup/compile: run the first full-size batch once (same shapes as
     # production so nothing recompiles during the timed run)
     t0 = time.time()
-    flat = eng.sorted_smems_batch_flat(reads[:BATCH])
-    if flat is None:
+    if seed_batch(reads[:BATCH]) is None:
         print(json.dumps({"metric": "seeding_throughput", "value": 0,
                           "unit": "reads/s/chip", "vs_baseline": 0,
                           "error": "fused seeding path unavailable"}))
@@ -152,8 +174,7 @@ def main():
     t0 = time.time()
     n_smems = 0
     for i in range(0, len(reads), BATCH):
-        flat = eng.sorted_smems_batch_flat(reads[i: i + BATCH])
-        n_smems += len(flat.start)
+        n_smems += seed_batch(reads[i: i + BATCH])
     dt = time.time() - t0
     device_rps = len(reads) / dt
     print(f"# device seeding: {len(reads)} reads in {dt:.2f}s "
