@@ -148,3 +148,15 @@ def test_memory_tier_parity(engines, mode):
         hs = [(s.start, s.end, s.sa_lo, s.hitcount) for s in h]
         ds = [(s.start, s.end, s.sa_lo, s.hitcount) for s in d]
         assert hs == ds, (mode, ri, hs, ds)
+
+
+def test_over_int31_suffixes_rejected():
+    """Texts past 2^31 suffixes must fail loudly at upload (VERDICT #2:
+    int32 device coordinates everywhere; silent overflow is forbidden)."""
+    from types import SimpleNamespace
+
+    from bwameme_tpu.ops.sa_search import DeviceIndex
+
+    fake = SimpleNamespace(n_sa=2**31, isa=None)
+    with pytest.raises(ValueError, match="int32"):
+        DeviceIndex.from_host(fake)
