@@ -165,11 +165,31 @@ def main():
     # warmup/compile: run the first full-size batch once (same shapes as
     # production so nothing recompiles during the timed run)
     t0 = time.time()
-    if seed_batch(reads[:BATCH]) is None:
-        print(json.dumps({"metric": "seeding_throughput", "value": 0,
-                          "unit": "reads/s/chip", "vs_baseline": 0,
-                          "error": "fused seeding path unavailable"}))
-        sys.exit(1)
+    degraded = None
+
+    def warm_or_none():
+        """Warmup once; None on an expected compile/tunnel failure (STRICT
+        raises out of the engine's internal fallbacks, so catch here)."""
+        try:
+            return seed_batch(reads[:BATCH])
+        except fallbacks.EXPECTED as e:
+            _log(f"warmup failed: {type(e).__name__}: {str(e)[:200]}")
+            return None
+
+    if warm_or_none() is None:
+        # a remote-compile failure of the default (mode-4) kernels must not
+        # zero the bench: retry one memory tier down, VISIBLY (the JSON
+        # carries the degrade; silent fallbacks stay fatal via STRICT)
+        if ROOT != "fmi" and mode is None:
+            _log("default-mode warmup failed; retrying mode 3")
+            fallbacks.reset()
+            eng = DeviceSeedingEngine(idx, opt, lanes=BATCH, mode=3)
+            degraded = "mode3"
+        if degraded is None or warm_or_none() is None:
+            print(json.dumps({"metric": "seeding_throughput", "value": 0,
+                              "unit": "reads/s/chip", "vs_baseline": 0,
+                              "error": "fused seeding path unavailable"}))
+            sys.exit(1)
     print(f"# warmup+compile: {time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
     n_smems = 0
@@ -202,13 +222,16 @@ def main():
         note = f"host python oracle {base_rps:.0f} reads/s (reference binary unavailable)"
     _log(f"baseline: {note}")
 
-    print(json.dumps({
+    out = {
         "metric": "seeding_throughput",
         "value": round(device_rps, 1),
         "unit": "reads/s/chip",
         "vs_baseline": round(device_rps / max(base_rps, 1e-9), 2),
         "baseline": note,
-    }))
+    }
+    if degraded:
+        out["degraded"] = degraded
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
