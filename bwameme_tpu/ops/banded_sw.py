@@ -52,8 +52,33 @@ def banded_sw_extend_batch(
                     o_del, e_del, o_ins, e_ins, end_bonus, zdrop)
 
 
+import os as _os
+
+# opt-in Pallas variant of the DP (ops/banded_sw_pallas.py): VMEM-resident
+# row state in one Mosaic kernel instead of an XLA while-loop carry.
+# Off until measured faster on real chips; bit-identical (differentially
+# tested in interpret mode by tests/test_banded_sw_pallas.py).
+_USE_PALLAS = _os.environ.get("BWAMEME_PALLAS", "0") == "1"
+
+
 def _sw_core(q_codes, t_codes, qlen, tlen, h0, ws, mat,
              o_del, e_del, o_ins, e_ins, end_bonus, zdrop):
+    if _USE_PALLAS:
+        import jax as _jax
+
+        from bwameme_tpu.ops.banded_sw_pallas import (
+            banded_sw_extend_batch_pallas)
+
+        return banded_sw_extend_batch_pallas(
+            q_codes, t_codes, qlen, tlen, h0, ws, mat,
+            o_del, e_del, o_ins, e_ins, end_bonus, zdrop,
+            interpret=_jax.default_backend() == "cpu")
+    return _sw_core_xla(q_codes, t_codes, qlen, tlen, h0, ws, mat,
+                        o_del, e_del, o_ins, e_ins, end_bonus, zdrop)
+
+
+def _sw_core_xla(q_codes, t_codes, qlen, tlen, h0, ws, mat,
+                 o_del, e_del, o_ins, e_ins, end_bonus, zdrop):
     B, Q = q_codes.shape
     T = t_codes.shape[1]
     # codes may arrive as int8 to quarter the host->device transfer
