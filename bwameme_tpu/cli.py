@@ -308,6 +308,14 @@ def cmd_mem(args) -> int:
     timer = StageTimer()
     with timer.stage("index_load"):
         idx = load_index(args.prefix)
+    if idx.n_sa >= 2**31:
+        # human-scale texts need int64 device coordinates (wide mode);
+        # flip x64 before any device program is traced
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+        print(f"[mem] n_sa={idx.n_sa} >= 2^31: wide (int64) device "
+              "coordinates enabled", file=sys.stderr)
     engine = None
     if args.ert:
         args.backend = "ert"

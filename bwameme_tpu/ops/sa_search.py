@@ -70,11 +70,20 @@ class DeviceIndex:
     #                          kt64[p] = 64 bases of text at p (two stacked
     #                          32-base keys) — deep compares cost ONE 16-byte
     #                          gather per 64 bases instead of two 8-byte ones
+    wide: bool = False             # int64 ranks/positions (texts >= 2^31
+    #                          suffixes, e.g. human text+RC = 6.2e9); needs
+    #                          jax_enable_x64; sa plane is int64 and the
+    #                          windows come from params64
+    params64: jax.Array | None = None  # int64[L,4] wide leaf records:
+    #                          (leaf_start, leaf_end, err_lo, err_hi) —
+    #                          33-bit-plus leaf bounds that no longer fit
+    #                          the fused uint32 rows
 
     @staticmethod
     def from_host(idx, ert_bits: int | None = None, mesh=None,
                   shard_axis: str = "idx",
-                  mode: int | None = None) -> "DeviceIndex":
+                  mode: int | None = None,
+                  wide: bool | None = None) -> "DeviceIndex":
         """Upload the index. With `mesh`, the two big per-suffix planes
         (sa positions, text-position keys) are SHARDED along `shard_axis`
         by equal blocks (block sharding of rank/position order), padded to
@@ -96,11 +105,13 @@ class DeviceIndex:
           1 = positions only — ~4 B/suffix, every compare walks the packed
               text (suffix_cmp_pos_only);
           None = auto (4 when the ISA is available and the fused planes fit
-          a single chip's HBM, else 3/2)."""
-        # single-chip device coordinates are int32 (ranks AND text
-        # positions); a text past 2^31 suffixes must be key-range sharded
-        # over a mesh so each shard's LOCAL block stays addressable —
-        # never silently truncated (VERDICT #2)
+          a single chip's HBM, else 3/2).
+
+        wide selects int64 device coordinates (ranks AND text positions):
+        required for texts past 2^31 suffixes (human text+RC = 6.2e9); auto
+        when n_sa >= 2^31. Wide mode needs jax_enable_x64 and runs modes
+        1-3 (mode 4's fused uint32 rows cap positions at 2^32); leaf
+        windows come from the int64 params64 records."""
         def _fuse_rmi_params(idx):
             """(L, 6) uint32 leaf records: one 24-byte row gather yields the
             whole window computation's inputs (leaf_start, leaf_end,
@@ -116,14 +127,34 @@ class DeviceIndex:
             p[:, 5] = np.asarray(idx.rmi_err_hi, np.uint32)
             return p
 
+        def _wide_rmi_params(idx):
+            """(L, 4) int64 leaf records for wide indexes: (leaf_start,
+            leaf_end, err_lo, err_hi) — the alpha/beta f32 bits stay in the
+            uint32 rows. Two row gathers per window instead of one."""
+            ls = np.asarray(idx.rmi_leaf_start, np.int64)
+            L = len(ls) - 1
+            p = np.empty((L, 4), np.int64)
+            p[:, 0] = ls[:-1]
+            p[:, 1] = ls[1:]
+            p[:, 2] = np.asarray(idx.rmi_err_lo, np.int64)
+            p[:, 3] = np.asarray(idx.rmi_err_hi, np.int64)
+            return p
+
         n_shards_req = 1 if mesh is None else int(mesh.shape[shard_axis])
-        if idx.n_sa >= 2**31:
+        if wide is None:
+            wide = idx.n_sa >= 2**31
+        if idx.n_sa >= 2**31 and not wide:
             raise ValueError(
                 f"n_sa={idx.n_sa} exceeds int32 device coordinates "
-                f"({n_shards_req} shard(s)); global ranks/positions are "
-                "int32 throughout the kernels — a >2^31-suffix text needs "
-                "the int64-coordinate sharded layout (split the genome or "
-                "raise shards once per-shard int64 ranks land)")
+                f"({n_shards_req} shard(s)) — upload with wide=True "
+                "(int64 ranks/positions; requires jax_enable_x64)")
+        if wide and not jax.config.jax_enable_x64:
+            raise ValueError(
+                f"wide index (n_sa={idx.n_sa}) needs int64 device "
+                "coordinates: enable x64 first "
+                "(jax.config.update('jax_enable_x64', True) or the "
+                "JAX_ENABLE_X64=1 env var; the CLI does this automatically "
+                "when the loaded index is >= 2^31 suffixes)")
         kmer_table = None
         kmer_bits = 0
         if ert_bits is not None:
@@ -156,10 +187,14 @@ class DeviceIndex:
             if idx.isa is not None:
                 # mode 4's 32 B/suffix must fit each shard's HBM next to the
                 # text + slots; past ~256M suffixes/shard drop to mode 3
-                mode = 4 if idx.n_sa // max(n_shards_req, 1) <= (1 << 28) \
-                    else 3
+                mode = 4 if (idx.n_sa // max(n_shards_req, 1) <= (1 << 28)
+                             and not wide) else 3
             else:
                 mode = 2
+        if wide and mode == 4:
+            raise ValueError(
+                "mode 4's fused uint32 rank rows cap positions at 2^32; "
+                "wide indexes run modes 1-3 (mode 3 recommended)")
         rk = kt64 = ktext = key2 = None
         if mode == 4:
             assert idx.isa is not None, "mode 4 (rk/kt64) needs the ISA"
@@ -192,10 +227,11 @@ class DeviceIndex:
                 np.stack([idx.key_hi, idx.key_lo], axis=1).astype(np.uint32))
         elif mode != 1:
             raise ValueError(f"mode must be 1, 2, 3 or 4, got {mode}")
+        idt = np.int64 if wide else np.int32
         return DeviceIndex(
             text32=put_repl(np.asarray(idx.text32, dtype=np.uint32)),
             # mode 4 carries sa inside rk; the separate plane is not shipped
-            sa=(put_shard(np.asarray(idx.sa, dtype=np.int32))
+            sa=(put_shard(np.asarray(idx.sa, dtype=idt))
                 if mode != 4 else None),
             key2=key2,
             ktext=ktext,
@@ -204,10 +240,12 @@ class DeviceIndex:
             n_sa=int(idx.n_sa),
             isa=None,  # kernels chain through ktext/kt64; the ISA itself
             #            never needs to be HBM-resident on a single chip
-            kmer_table=(put_repl(kmer_table) if kmer_table is not None
-                        else None),
+            kmer_table=(put_repl(np.asarray(kmer_table, dtype=idt))
+                        if kmer_table is not None else None),
             kmer_bits=kmer_bits,
             rk=rk, kt64=kt64,
+            wide=bool(wide),
+            params64=(put_repl(_wide_rmi_params(idx)) if wide else None),
         )
 
     def partition_specs(self, shard_axis: str = "idx"):
@@ -226,21 +264,25 @@ class DeviceIndex:
             kmer_bits=self.kmer_bits,
             rk=None if self.rk is None else P(shard_axis),
             kt64=None if self.kt64 is None else P(shard_axis),
+            wide=self.wide,
+            params64=None if self.params64 is None else P(),
         )
 
 def _di_flatten(di):
     children = (di.text32, di.sa, di.key2, di.ktext, di.params,
-                di.isa, di.kmer_table, di.rk, di.kt64)
-    return children, (di.bits, di.n_sa, di.kmer_bits)
+                di.isa, di.kmer_table, di.rk, di.kt64, di.params64)
+    return children, (di.bits, di.n_sa, di.kmer_bits, di.wide)
 
 
 def _di_unflatten(aux, children):
-    bits, n_sa, kmer_bits = aux
-    (text32, sa, key2, ktext, params, isa, kmer_table, rk, kt64) = children
+    bits, n_sa, kmer_bits, wide = aux
+    (text32, sa, key2, ktext, params, isa, kmer_table, rk, kt64,
+     params64) = children
     return DeviceIndex(text32=text32, sa=sa, key2=key2, ktext=ktext,
                        params=params, bits=bits,
                        n_sa=n_sa, isa=isa, kmer_table=kmer_table,
-                       kmer_bits=kmer_bits, rk=rk, kt64=kt64)
+                       kmer_bits=kmer_bits, rk=rk, kt64=kt64,
+                       wide=wide, params64=params64)
 
 
 # DeviceIndex is a pytree so it can be a jit ARGUMENT: index arrays must
@@ -376,6 +418,8 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
     kmer_bits = di.kmer_bits
     has_ktext = di.ktext is not None
     has_rk = di.rk is not None
+    wide = di.wide
+    IT = jnp.int64 if wide else jnp.int32  # rank/position dtype
     shift = jnp.uint32(32 - bits)
     rel_mask = jnp.uint32((1 << (32 - bits)) - 1) if bits < 32 else jnp.uint32(0)
     n_segs = max(1, -(-(max_read_words * 16) // 32))
@@ -387,6 +431,9 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
     if root == "kmer":
         tab = np.asarray(di.kmer_table)
         max_width = int(np.max(tab[1:] - tab[:-1])) if len(tab) > 1 else 1
+    elif wide:
+        p_host = np.asarray(di.params64)
+        max_width = int(np.max(p_host[:, 2] + p_host[:, 3]))
     else:
         p_host = np.asarray(di.params)
         max_width = int(np.max(p_host[:, 4].astype(np.int64)
@@ -414,7 +461,7 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
                 """Owner's row of a block-sharded plane for global index g
                 (g must be pre-clipped to [0, N_pad))."""
                 B = arr.shape[0]
-                start = (jax.lax.axis_index(ax) * B).astype(jnp.int32)
+                start = (jax.lax.axis_index(ax).astype(IT) * B)
                 loc = g - start
                 mine = (loc >= 0) & (loc < B)
                 v = jnp.take(arr, jnp.clip(loc, 0, B - 1), axis=0,
@@ -485,15 +532,24 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
                 + klo.astype(jnp.float32)
             # one fused 24-byte row gather: (ls, le, alpha, beta, elo, ehi)
             rec = jnp.take(d.params, leaf, axis=0, mode="clip")
-            ls = rec[..., 0].astype(jnp.int32)
-            le = rec[..., 1].astype(jnp.int32)
             alpha = jax.lax.bitcast_convert_type(rec[..., 2], jnp.float32)
             beta = jax.lax.bitcast_convert_type(rec[..., 3], jnp.float32)
+            if wide:
+                # 33-bit-plus leaf bounds live in the int64 records (the
+                # uint32 rows keep only the f32 model bits)
+                rec64 = jnp.take(d.params64, leaf, axis=0, mode="clip")
+                ls, le = rec64[..., 0], rec64[..., 1]
+                elo, ehi = rec64[..., 2], rec64[..., 3]
+            else:
+                ls = rec[..., 0].astype(jnp.int32)
+                le = rec[..., 1].astype(jnp.int32)
+                elo = rec[..., 4].astype(jnp.int32)
+                ehi = rec[..., 5].astype(jnp.int32)
             cnt = (le - ls).astype(jnp.float32)
             predf = jnp.clip(alpha + beta * rel, 0.0, cnt)
-            pred = ls + predf.astype(jnp.int32)
-            lo = jnp.maximum(pred - rec[..., 4].astype(jnp.int32), 0)
-            hi = jnp.minimum(pred + rec[..., 5].astype(jnp.int32), n_sa)
+            pred = ls + predf.astype(IT)
+            lo = jnp.maximum(pred - elo, 0)
+            hi = jnp.minimum(pred + ehi, n_sa)
             return lo, hi
 
         rmi_window = kmer_window if root == "kmer" else prmi_window
@@ -830,7 +886,7 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
 
             mlen, lb, cnt, _ = jax.lax.while_loop(
                 cond, body,
-                (mlen, jnp.zeros_like(mlen), jnp.zeros_like(mlen),
+                (mlen, jnp.zeros(mlen.shape, IT), jnp.zeros(mlen.shape, IT),
                  jnp.zeros(mlen.shape, jnp.bool_)),
             )
             return mlen, lb, cnt

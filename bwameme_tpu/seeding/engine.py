@@ -37,7 +37,8 @@ class DeviceSeedingEngine:
     def __init__(self, idx, opt, max_read_len: int = 160,
                  lanes: int = 1024, root: str = "prmi",
                  ert_bits: int = 0, mesh=None,
-                 index_axis: str = "idx", mode: int | None = None) -> None:
+                 index_axis: str = "idx", mode: int | None = None,
+                 wide: bool | None = None) -> None:
         """root="prmi" (learned index, the -7 path) or "kmer" (the ERT
         backend: direct k-mer-root window, see index/ert.py).
 
@@ -46,7 +47,12 @@ class DeviceSeedingEngine:
         sharding) and every device program runs shard_map'ed with
         psum-combined gathers; queries are replicated over the mesh and
         results are identical to the single-device engine (SURVEY.md §5
-        distributed backend)."""
+        distributed backend).
+
+        wide: int64 device ranks/positions (auto for n_sa >= 2^31, e.g.
+        the human genome; needs jax_enable_x64 — see
+        DeviceIndex.from_host). SMEM interval fields (lb, hitcount) ride
+        int64 slot planes; read coordinates stay int32."""
         self.idx = idx
         self.opt = opt
         self.root = root
@@ -54,7 +60,9 @@ class DeviceSeedingEngine:
         self.index_axis = index_axis
         self.di = DeviceIndex.from_host(
             idx, ert_bits=(ert_bits if root == "kmer" else None),
-            mesh=mesh, shard_axis=index_axis, mode=mode)
+            mesh=mesh, shard_axis=index_axis, mode=mode, wide=wide)
+        # interval dtype: SMEM (lb, hitcount) slot planes and transfers
+        self.idt = jnp.int64 if self.di.wide else jnp.int32
         # fixed lane count -> exactly one compilation per query kernel
         # (shrinking active sets run with inert lanes; gathers are cheap)
         self.lanes = lanes
@@ -165,12 +173,14 @@ class DeviceSeedingEngine:
         sa_lo, hitcount."""
 
         def pack(pairs_flat, cap):
-            # pairs_flat: tuple (slots_a, ns_a, slots_b, ns_b, ...)
+            # pairs_flat: tuple (slots_a, ns_a, slots_b, ns_b, ...); each
+            # slots is a (starts, ends, lbs, cnts) tuple — lbs/cnts ride
+            # the engine's interval dtype (int64 on wide indexes)
             sts, ens, lbs, cns, vals = [], [], [], [], []
             R = None
             for i in range(0, len(pairs_flat), 2):
                 slots, ns = pairs_flat[i], pairs_flat[i + 1]
-                _, R, M1 = slots.shape
+                R, M1 = slots[0].shape
                 ks = jnp.arange(M1, dtype=jnp.int32)
                 sts.append(slots[0])
                 ens.append(slots[1])
@@ -496,8 +506,8 @@ class DeviceSeedingEngine:
             _, next_f, next_r = self._prepare(codes_list)
 
         def unpack(d, smems, append):
-            slots, nsm = np.asarray(d[0]), np.asarray(d[1])
-            starts, ends, lbs, cnts = slots
+            nsm = np.asarray(d[1])
+            starts, ends, lbs, cnts = (np.asarray(a) for a in d[0])
             for i in range(R):
                 lst = [Smem(int(starts[i, k]), int(ends[i, k]),
                             int(lbs[i, k]), int(cnts[i, k]))
@@ -789,8 +799,10 @@ class DeviceSeedingEngine:
                 slot_o = jnp.where(emit & (st["nsm"] < M2), st["nsm"], M2)
                 starts = st["starts"].at[lanes, slot_o].set(p)
                 ends = st["ends"].at[lanes, slot_o].set(p + mlen)
-                lbs = st["lbs"].at[lanes, slot_o].set(lb.astype(jnp.int32))
-                cnts = st["cnts"].at[lanes, slot_o].set(cnt.astype(jnp.int32))
+                lbs = st["lbs"].at[lanes, slot_o].set(
+                    lb.astype(st["lbs"].dtype))
+                cnts = st["cnts"].at[lanes, slot_o].set(
+                    cnt.astype(st["cnts"].dtype))
                 nsm = st["nsm"] + (emit & (st["nsm"] < M2))
 
                 npv_rlen = p + mlen
@@ -828,6 +840,8 @@ class DeviceSeedingEngine:
 
             return body
 
+        idt = self.idt
+
         def begin(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
                   split_len, split_width, minseed, M1, M2, cap1):
             nf = nf.astype(jnp.int32)
@@ -845,12 +859,12 @@ class DeviceSeedingEngine:
                 p=jnp.zeros(R, jnp.int32),
                 npv=jnp.zeros(R, jnp.int32),
                 psp=jnp.zeros(R, jnp.int32),
-                mi=jnp.ones(R, jnp.int32),
+                mi=jnp.ones(R, idt),
                 nsm=jnp.zeros(R, jnp.int32),
                 starts=jnp.zeros((R, M2 + 1), jnp.int32),
                 ends=jnp.zeros((R, M2 + 1), jnp.int32),
-                lbs=jnp.zeros((R, M2 + 1), jnp.int32),
-                cnts=jnp.zeros((R, M2 + 1), jnp.int32),
+                lbs=jnp.zeros((R, M2 + 1), idt),
+                cnts=jnp.zeros((R, M2 + 1), idt),
             )
 
             def cond(st):
@@ -860,8 +874,7 @@ class DeviceSeedingEngine:
                 cond, lambda st: body(lanes, lens_r, st), st0)
             return (st["phase"], st["k"], st["p"], st["npv"], st["psp"],
                     st["mi"], st["nsm"],
-                    jnp.stack([st["starts"], st["ends"], st["lbs"],
-                               st["cnts"]]))
+                    (st["starts"], st["ends"], st["lbs"], st["cnts"]))
 
         def continue_at(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
                         split_len, split_width, minseed,
@@ -905,8 +918,7 @@ class DeviceSeedingEngine:
                     psp_f.at[lanes].set(st["psp"]),
                     mi_f.at[lanes].set(st["mi"]),
                     nsm_f.at[lanes].set(st["nsm"]),
-                    jnp.stack([st["starts"], st["ends"], st["lbs"],
-                               st["cnts"]]))
+                    (st["starts"], st["ends"], st["lbs"], st["cnts"]))
 
         jb = self._jit(begin, static_argnames=("M1", "M2", "cap1"))
         jc = self._jit(continue_at, static_argnames=("M1", "Rc"))
@@ -990,8 +1002,10 @@ class DeviceSeedingEngine:
                 starts = st["starts"].at[lanes, slot].set(p.astype(jnp.int32))
                 ends = st["ends"].at[lanes, slot].set(
                     (p + mlen).astype(jnp.int32))
-                lbs = st["lbs"].at[lanes, slot].set(lb.astype(jnp.int32))
-                cnts = st["cnts"].at[lanes, slot].set(cnt.astype(jnp.int32))
+                lbs = st["lbs"].at[lanes, slot].set(
+                    lb.astype(st["lbs"].dtype))
+                cnts = st["cnts"].at[lanes, slot].set(
+                    cnt.astype(st["cnts"].dtype))
                 nsm = nsm + (emit & (nsm < st["M"]))
 
                 p2 = p - mlen + 1
@@ -1028,6 +1042,8 @@ class DeviceSeedingEngine:
 
             return enter_outer, body
 
+        idt = self.idt
+
         def begin(di, qbuf, nf, nr, nvf, lens, minseed, M, cap1):
             nf = nf.astype(jnp.int32)
             nr = nr.astype(jnp.int32)
@@ -1045,8 +1061,8 @@ class DeviceSeedingEngine:
                 nsm=jnp.zeros(R, jnp.int32),
                 starts=jnp.zeros((R, M + 1), jnp.int32),
                 ends=jnp.zeros((R, M + 1), jnp.int32),
-                lbs=jnp.zeros((R, M + 1), jnp.int32),
-                cnts=jnp.zeros((R, M + 1), jnp.int32),
+                lbs=jnp.zeros((R, M + 1), idt),
+                cnts=jnp.zeros((R, M + 1), idt),
             )
 
             def cond(st):
@@ -1055,8 +1071,7 @@ class DeviceSeedingEngine:
             st = jax.lax.while_loop(
                 cond, lambda st: body(lanes, lens, st), st0)
             return (st["phase"], st["p"], st["spb"], st["nsm"],
-                    jnp.stack([st["starts"], st["ends"], st["lbs"],
-                               st["cnts"]]))
+                    (st["starts"], st["ends"], st["lbs"], st["cnts"]))
 
         def continue_at(di, qbuf, nf, nr, nvf, lens, minseed,
                         phase_f, p_f, spb_f, nsm_f, slots, Rc):
@@ -1076,7 +1091,7 @@ class DeviceSeedingEngine:
                 lanes = jnp.arange(R, dtype=jnp.int32)
             lens_l = jnp.take(lens, lanes)
             st0 = dict(
-                M=jnp.int32(slots.shape[2] - 1), it=jnp.int32(0),
+                M=jnp.int32(slots[0].shape[1] - 1), it=jnp.int32(0),
                 phase=jnp.take(phase_f, lanes),
                 p=jnp.take(p_f, lanes),
                 spb=jnp.take(spb_f, lanes),
@@ -1099,8 +1114,7 @@ class DeviceSeedingEngine:
             spb_f = spb_f.at[lanes].set(st["spb"])
             nsm_f = nsm_f.at[lanes].set(st["nsm"])
             return (phase_f, p_f, spb_f, nsm_f,
-                    jnp.stack([st["starts"], st["ends"], st["lbs"],
-                               st["cnts"]]))
+                    (st["starts"], st["ends"], st["lbs"], st["cnts"]))
 
         jb = self._jit(begin, static_argnames=("M", "cap1"))
         jc = self._jit(continue_at, static_argnames=("Rc",))
@@ -1122,6 +1136,7 @@ class DeviceSeedingEngine:
         the third_round level-walk body, as one device program."""
         raw = self.fns["raw"]
         tr_core = self._tr_core
+        idt = self.idt
 
         def fused(di, qbuf, nf, lens, min_intv, min_seed, M):
             fns = raw(di)
@@ -1163,8 +1178,8 @@ class DeviceSeedingEngine:
                 nsm=jnp.zeros(R, jnp.int32),
                 starts=jnp.zeros((R, M + 1), jnp.int32),
                 ends=jnp.zeros((R, M + 1), jnp.int32),
-                lbs=jnp.zeros((R, M + 1), jnp.int32),
-                cnts=jnp.zeros((R, M + 1), jnp.int32),
+                lbs=jnp.zeros((R, M + 1), idt),
+                cnts=jnp.zeros((R, M + 1), idt),
             )
 
             def cond(st):
@@ -1180,8 +1195,10 @@ class DeviceSeedingEngine:
                 slot = jnp.where(emit & (st["nsm"] < M), st["nsm"], M)
                 starts = st["starts"].at[lane, slot].set(pv)
                 ends = st["ends"].at[lane, slot].set(pv + e_len.astype(jnp.int32))
-                lbs = st["lbs"].at[lane, slot].set(e_lb.astype(jnp.int32))
-                cnts = st["cnts"].at[lane, slot].set(e_cnt.astype(jnp.int32))
+                lbs = st["lbs"].at[lane, slot].set(
+                    e_lb.astype(st["lbs"].dtype))
+                cnts = st["cnts"].at[lane, slot].set(
+                    e_cnt.astype(st["cnts"].dtype))
                 nsm = st["nsm"] + (emit & (st["nsm"] < M))
                 pv2 = jnp.where(done, pv, pv + jnp.maximum(advance, 1).astype(jnp.int32))
                 pv2, done2 = resolve_skips(pv2, done)
@@ -1189,8 +1206,8 @@ class DeviceSeedingEngine:
                             ends=ends, lbs=lbs, cnts=cnts)
 
             st = jax.lax.while_loop(cond, body, st0)
-            return (jnp.stack([st["starts"], st["ends"], st["lbs"],
-                               st["cnts"]]), st["nsm"])
+            return ((st["starts"], st["ends"], st["lbs"], st["cnts"]),
+                    st["nsm"])
 
         return self._jit(fused, static_argnames=("M",))
 

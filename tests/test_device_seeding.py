@@ -150,13 +150,19 @@ def test_memory_tier_parity(engines, mode):
         assert hs == ds, (mode, ri, hs, ds)
 
 
-def test_over_int31_suffixes_rejected():
-    """Texts past 2^31 suffixes must fail loudly at upload (VERDICT #2:
-    int32 device coordinates everywhere; silent overflow is forbidden)."""
+def test_over_int31_suffixes_need_wide():
+    """Texts past 2^31 suffixes must fail loudly unless wide (int64) mode
+    is on (VERDICT #2: silent overflow is forbidden). Forcing wide=False
+    rejects; auto-wide without x64 demands the x64 switch."""
     from types import SimpleNamespace
 
     from bwameme_tpu.ops.sa_search import DeviceIndex
 
     fake = SimpleNamespace(n_sa=2**31, isa=None)
-    with pytest.raises(ValueError, match="int32"):
-        DeviceIndex.from_host(fake)
+    with pytest.raises(ValueError, match="wide=True"):
+        DeviceIndex.from_host(fake, wide=False)
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        with pytest.raises(ValueError, match="x64"):
+            DeviceIndex.from_host(fake)
