@@ -413,3 +413,146 @@ def train_prmi_native(key_hi, key_lo, bits, margin):
                      _p(alpha, ctypes.c_float), _p(beta, ctypes.c_float),
                      _p(err_lo, ctypes.c_int32), _p(err_hi, ctypes.c_int32))
     return leaf_start, alpha, beta, err_lo, err_hi
+
+
+def _fin_blobs(bns):
+    """Cached flat contig table for finalize_se_c."""
+    b = getattr(bns, "_fin_blobs", None)
+    if b is None:
+        names = b"".join(c.name.encode() for c in bns.contigs)
+        name_off = np.zeros(len(bns.contigs) + 1, np.int64)
+        np.cumsum([len(c.name.encode()) for c in bns.contigs],
+                  out=name_off[1:])
+        off = np.asarray([c.offset for c in bns.contigs], np.int64)
+        is_alt = np.asarray(
+            [1 if getattr(c, "is_alt", False) else 0 for c in bns.contigs],
+            np.uint8)
+        b = (names, name_off, off, is_alt)
+        bns._fin_blobs = b
+    return b
+
+
+def finalize_se_native(opt, bns, text, recs, regs_per_read, rg_id,
+                       n_processed):
+    """Whole-batch single-end finalization in C++ (finalize_se_c):
+    sort_dedup_patch + mark_primary + XA + reg2aln + aln2sam for every
+    read, returning finished SAM blocks (byte-identical to the Python
+    contract in align/finalize.py — differentially tested). None when the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    R = len(recs)
+    G = sum(len(r) for r in regs_per_read)
+    reg_off = np.zeros(R + 1, np.int32)
+    np.cumsum([len(r) for r in regs_per_read], out=reg_off[1:])
+    rb = np.empty(G, np.int64)
+    re_ = np.empty(G, np.int64)
+    qb = np.empty(G, np.int32)
+    qe = np.empty(G, np.int32)
+    rid = np.empty(G, np.int32)
+    score = np.empty(G, np.int32)
+    truesc = np.empty(G, np.int32)
+    sub = np.empty(G, np.int32)
+    csub = np.empty(G, np.int32)
+    w_arr = np.empty(G, np.int32)
+    seedcov = np.empty(G, np.int32)
+    frac_rep = np.empty(G, np.float64)
+    is_alt = np.empty(G, np.uint8)
+    g = 0
+    for regs in regs_per_read:
+        for r in regs:
+            rb[g] = r.rb
+            re_[g] = r.re
+            qb[g] = r.qb
+            qe[g] = r.qe
+            rid[g] = r.rid
+            score[g] = r.score
+            truesc[g] = r.truesc
+            sub[g] = r.sub
+            csub[g] = r.csub
+            w_arr[g] = r.w
+            seedcov[g] = r.seedcov
+            frac_rep[g] = r.frac_rep
+            is_alt[g] = 1 if r.is_alt else 0
+            g += 1
+    qoff = np.zeros(R + 1, np.int64)
+    np.cumsum([len(rec.codes) for rec in recs], out=qoff[1:])
+    qcodes = (np.concatenate([rec.codes for rec in recs]).astype(np.uint8)
+              if R else np.zeros(0, np.uint8))
+    names = b"".join(rec.name.encode() for rec in recs)
+    name_off = np.zeros(R + 1, np.int64)
+    np.cumsum([len(rec.name.encode()) for rec in recs], out=name_off[1:])
+    quals = b"".join((rec.qual or "").encode() for rec in recs)
+    qual_off = np.zeros(R + 1, np.int64)
+    np.cumsum([len((rec.qual or "").encode()) for rec in recs],
+              out=qual_off[1:])
+    comms = b"".join((rec.comment or "").encode() for rec in recs)
+    comm_off = np.zeros(R + 1, np.int64)
+    np.cumsum([len((rec.comment or "").encode()) for rec in recs],
+              out=comm_off[1:])
+
+    ctg_names, ctg_name_off, ctg_off, ctg_is_alt = _fin_blobs(bns)
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    mat = np.ascontiguousarray(opt.mat, dtype=np.int8)
+    iopt = np.asarray([
+        opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, opt.a, opt.b, opt.T,
+        opt.w, opt.max_chain_gap, opt.min_seed_len, opt.flag,
+        opt.max_XA_hits, opt.max_XA_hits_alt, opt.mapQ_coef_fac, 0,
+        n_processed,
+    ], np.int64)
+    dopt = np.asarray([
+        opt.mask_level, opt.mask_level_redun, opt.drop_ratio,
+        opt.XA_drop_ratio, opt.mapQ_coef_len,
+    ], np.float64)
+    rg = (rg_id or "").encode()
+
+    if not getattr(lib, "_fin_sig", False):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.finalize_se_c.argtypes = [
+            ctypes.c_int32, i32p, i64p, i64p, i32p, i32p, i32p, i32p, i32p,
+            i32p, i32p, i32p, i32p, f64p, u8p, u8p, i64p,
+            ctypes.c_char_p, i64p, ctypes.c_char_p, i64p, ctypes.c_char_p,
+            i64p, u8p, ctypes.c_int64, ctypes.c_int32, i64p,
+            ctypes.c_char_p, i64p, u8p, i8p, i64p, f64p,
+            ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int64, i64p,
+        ]
+        lib.finalize_se_c.restype = ctypes.c_int64
+        lib._fin_sig = True
+
+    cap = int(sum((len(rec.codes) * 2 + 300) * (len(regs) + 1)
+                  for rec, regs in zip(recs, regs_per_read)) + 4096)
+    out_off = np.zeros(R + 1, np.int64)
+    for _ in range(2):
+        buf = ctypes.create_string_buffer(cap)
+        total = lib.finalize_se_c(
+            R, _p(reg_off, ctypes.c_int32), _p(rb, ctypes.c_int64),
+            _p(re_, ctypes.c_int64), _p(qb, ctypes.c_int32),
+            _p(qe, ctypes.c_int32), _p(rid, ctypes.c_int32),
+            _p(score, ctypes.c_int32), _p(truesc, ctypes.c_int32),
+            _p(sub, ctypes.c_int32), _p(csub, ctypes.c_int32),
+            _p(w_arr, ctypes.c_int32), _p(seedcov, ctypes.c_int32),
+            _p(frac_rep, ctypes.c_double), _p(is_alt, ctypes.c_uint8),
+            _p(qcodes, ctypes.c_uint8), _p(qoff, ctypes.c_int64),
+            names, _p(name_off, ctypes.c_int64),
+            quals, _p(qual_off, ctypes.c_int64),
+            comms, _p(comm_off, ctypes.c_int64),
+            _p(text, ctypes.c_uint8), int(bns.l_pac),
+            len(bns.contigs), _p(ctg_off, ctypes.c_int64),
+            ctg_names, _p(ctg_name_off, ctypes.c_int64),
+            _p(ctg_is_alt, ctypes.c_uint8),
+            _p(mat, ctypes.c_int8), _p(iopt, ctypes.c_int64),
+            _p(dopt, ctypes.c_double),
+            rg, len(rg), buf, cap, _p(out_off, ctypes.c_int64),
+        )
+        if total >= 0:
+            raw = buf.raw[:total]
+            return [raw[out_off[i]: out_off[i + 1]].decode()
+                    for i in range(R)]
+        cap = int(-total) + 1
+    return None

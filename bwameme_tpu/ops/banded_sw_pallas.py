@@ -1,21 +1,28 @@
 """Pallas (Mosaic TPU) banded Smith-Waterman extension kernel.
 
-The whole DP for a tile of pairs runs as ONE kernel: the (BT, W) row state
+The whole DP for a tile of pairs runs as ONE kernel: the row state
 (ehh/ehe) lives in VMEM scratch for all T rows instead of riding an XLA
 while-loop carry, and each row is the same fused VPU sweep as the XLA
 formulation in ops/banded_sw.py:_sw_core — bit-identical semantics
 (adaptive begin/end band pruning, z-dropoff, row-zero termination, gscore
 bookkeeping of scalarBandedSWA, reference: src/bandedSWA.cpp:116-238).
 
+Mosaic layout: everything is TRANSPOSED relative to the XLA kernel — pairs
+ride the LANE dimension (tile B=128) and query positions the sublane
+dimension, so per-pair scalars are (1, B) rank-2 rows (Mosaic's layout
+inference rejects rank-1 vectors) and the dynamic DP-row load from the
+(T, B) target block is a sublane slice (dynamic lane indexing must be
+128-aligned; sublane indexing is free).
+
 The in-row F (insertion) chain uses the same decaying-prefix-max identity,
-computed as a Hillis-Steele max-scan (log2 W shifted maxima) because
-lax.cummax is not a Mosaic primitive.
+computed as a Hillis-Steele max-scan (log2 W shifted maxima along
+sublanes) because lax.cummax is not a Mosaic primitive.
 
-Grid = batch tiles of BT pairs; per-tile VMEM: the query score profile
-(BT,5,W), the target codes (BT,T) and two (BT,W) state planes — ~1.5 MB at
-BT=128, W=256, T=512.
+Grid = batch tiles of B pairs; per-tile VMEM: the query score profile
+(5, W, B), the target codes (T, B) and two (W, B) state planes — ~1 MB at
+B=128, W=256, T=512.
 
-Selected via BWAMEME_PALLAS=1 (see align/extend.py) once measured on real
+Selected via BWAMEME_PALLAS=1 (see ops/banded_sw.py) once measured on real
 chips; interpret mode is differentially tested against the XLA kernel on
 every suite run.
 """
@@ -33,10 +40,10 @@ NEG_BIG = -(1 << 28)  # plain int: a jnp scalar would be a captured constant
 
 
 def _scan_max(u, W):
-    """Inclusive running maximum along the last axis (Hillis-Steele)."""
+    """Inclusive running maximum along axis 0 (Hillis-Steele)."""
     k = 1
     while k < W:
-        shifted = jnp.pad(u[:, :-k], ((0, 0), (k, 0)),
+        shifted = jnp.pad(u[:-k, :], ((k, 0), (0, 0)),
                           constant_values=NEG_BIG)
         u = jnp.maximum(u, shifted)
         k <<= 1
@@ -47,48 +54,46 @@ def _kernel(qp_ref, t_ref, par_ref,
             score_ref, qle_ref, tle_ref, gtle_ref, gsc_ref, moff_ref,
             ehh_ref, ehe_ref,
             *, T, W, o_del, e_del, o_ins, e_ins, end_bonus, zdrop):
-    B = par_ref.shape[0]
-    oe_del = o_del + e_del
+    B = par_ref.shape[1]
     oe_ins = o_ins + e_ins
-    jj = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-    par = par_ref[:]            # (B, 4): qlen, tlen, h0, w_eff
-    qlen = par[:, 0]
-    tlen = par[:, 1]
-    h0 = par[:, 2]
-    w_eff = par[:, 3]
-    qlen_c = qlen[:, None]
-    t_all = t_ref[:]            # (B, T) target codes
-    qp = qp_ref[:]              # (B, 5, W) score profile
+    jj = jax.lax.broadcasted_iota(jnp.int32, (W, B), 0)   # query pos
+    par = par_ref[:]            # (4, B): qlen, tlen, h0, w_eff
+    qlen = par[0:1, :]          # (1, B)
+    tlen = par[1:2, :]
+    h0 = par[2:3, :]
+    w_eff = par[3:4, :]
 
     # ---- first row init (reference: bandedSWA.cpp:143-147) ----
-    v = h0[:, None] - oe_ins - (jj - 1) * e_ins
-    ehh0 = jnp.where(jj == 0, h0[:, None], jnp.maximum(v, 0))
-    ehh_ref[:] = jnp.where(jj <= qlen_c, ehh0, 0).astype(jnp.int32)
-    ehe_ref[:] = jnp.zeros((B, W), jnp.int32)
+    v = h0 - oe_ins - (jj - 1) * e_ins
+    ehh0 = jnp.where(jj == 0, h0, jnp.maximum(v, 0))
+    ehh_ref[:] = jnp.where(jj <= qlen, ehh0, 0).astype(jnp.int32)
+    ehe_ref[:] = jnp.zeros((W, B), jnp.int32)
 
     st0 = dict(
-        beg=jnp.zeros((B,), jnp.int32),
+        beg=jnp.zeros((1, B), jnp.int32),
         end=qlen.astype(jnp.int32),
         mx=h0.astype(jnp.int32),
-        max_i=jnp.full((B,), -1, jnp.int32),
-        max_j=jnp.full((B,), -1, jnp.int32),
-        max_ie=jnp.full((B,), -1, jnp.int32),
-        gsc=jnp.full((B,), -1, jnp.int32),
-        max_off=jnp.zeros((B,), jnp.int32),
-        done=jnp.zeros((B,), jnp.bool_),
+        max_i=jnp.full((1, B), -1, jnp.int32),
+        max_j=jnp.full((1, B), -1, jnp.int32),
+        max_ie=jnp.full((1, B), -1, jnp.int32),
+        gsc=jnp.full((1, B), -1, jnp.int32),
+        max_off=jnp.zeros((1, B), jnp.int32),
+        # int32, not bool: i1 vectors do not legalize as scf.for carries
+        done=jnp.zeros((1, B), jnp.int32),
     )
 
     def row(i, st):
-        active = (~st["done"]) & (i < tlen)
-        beg_i = jnp.maximum(st["beg"], i - w_eff)
+        active = (st["done"] == 0) & (i < tlen)
+        beg_i = jnp.maximum(st["beg"], i - w_eff)            # (1, B)
         end_i = jnp.minimum(jnp.minimum(st["end"], i + w_eff + 1), qlen)
-        begc, endc = beg_i[:, None], end_i[:, None]
-        inband = (jj >= begc) & (jj < endc)
+        inband = (jj >= beg_i) & (jj < end_i)
 
-        tci = jnp.clip(jax.lax.dynamic_index_in_dim(t_all, i, axis=1,
-                                                    keepdims=False), 0, 4)
-        scores = jnp.take_along_axis(
-            qp, tci[:, None, None].astype(jnp.int32), axis=1)[:, 0, :]
+        # dynamic DP-row load: sublane slice of the (T, B) target block,
+        # one-hot select over the 5 score planes (no gathers in Mosaic)
+        tci = jnp.clip(t_ref[pl.ds(i, 1), :], 0, 4)          # (1, B)
+        scores = qp_ref[0]                                   # (W, B)
+        for c in range(1, 5):
+            scores = jnp.where(tci == c, qp_ref[c], scores)
 
         ehh = ehh_ref[:]
         ehe = ehe_ref[:]
@@ -99,35 +104,34 @@ def _kernel(qp_ref, t_ref, par_ref,
         t_ins = jnp.maximum(M - oe_ins, 0)
         u = jnp.where(inband, t_ins + jj * e_ins, NEG_BIG)
         cm = _scan_max(u, W)
-        cm_prev = jnp.pad(cm[:, :-1], ((0, 0), (1, 0)),
+        cm_prev = jnp.pad(cm[:-1, :], ((1, 0), (0, 0)),
                           constant_values=NEG_BIG)
-        f = jnp.where(jj == begc, 0, cm_prev - (jj - 1) * e_ins)
+        f = jnp.where(jj == beg_i, 0, cm_prev - (jj - 1) * e_ins)
         f = jnp.maximum(f, 0)
 
         H = jnp.where(inband, jnp.maximum(h_pre, f), 0)
-        e_next = jnp.maximum(E - e_del, jnp.maximum(M - oe_del, 0))
+        e_next = jnp.maximum(E - e_del, jnp.maximum(M - (o_del + e_del), 0))
 
         h1_init = jnp.where(
             beg_i == 0, jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0), 0
         ).astype(jnp.int32)
 
-        mrow = jnp.max(H, axis=1)
-        is_max = inband & (H == mrow[:, None])
-        mj = jnp.max(jnp.where(is_max, jj, -1), axis=1)
+        mrow = jnp.max(H, axis=0, keepdims=True)             # (1, B)
+        is_max = inband & (H == mrow)
+        mj = jnp.max(jnp.where(is_max, jj, -1), axis=0, keepdims=True)
 
-        Hshift = jnp.pad(H[:, :-1], ((0, 0), (1, 0)))
-        sel_mid = (jj >= begc + 1) & (jj <= endc)
+        Hshift = jnp.pad(H[:-1, :], ((1, 0), (0, 0)))
+        sel_mid = (jj >= beg_i + 1) & (jj <= end_i)
         ehh_new = jnp.where(sel_mid, Hshift, ehh)
-        ehh_new = jnp.where(jj == begc, h1_init[:, None], ehh_new)
+        ehh_new = jnp.where(jj == beg_i, h1_init, ehh_new)
         ehe_new = jnp.where(inband, e_next, ehe)
-        ehe_new = jnp.where(jj == endc, 0, ehe_new)
+        ehe_new = jnp.where(jj == end_i, 0, ehe_new)
 
-        h_end = jnp.where(
-            end_i > beg_i,
-            jnp.take_along_axis(H, jnp.maximum(end_i - 1, 0)[:, None],
-                                axis=1)[:, 0],
-            h1_init,
-        )
+        # H[end_i-1] without a gather: masked max (exactly one lane row hits)
+        h_at_end = jnp.max(
+            jnp.where(jj == jnp.maximum(end_i - 1, 0), H, NEG_BIG),
+            axis=0, keepdims=True)
+        h_end = jnp.where(end_i > beg_i, h_at_end, h1_init)
         upd_g = active & (end_i == qlen) & (st["gsc"] <= h_end)
         max_ie = jnp.where(upd_g, i, st["max_ie"])
         gsc = jnp.where(upd_g, h_end, st["gsc"])
@@ -151,22 +155,22 @@ def _kernel(qp_ref, t_ref, par_ref,
                             st["max_off"])
 
         terminated = active & (break0 | breakz)
-        done = st["done"] | terminated | ((i + 1) >= tlen)
+        done_b = (st["done"] != 0) | terminated | ((i + 1) >= tlen)
+        done = done_b.astype(jnp.int32)
 
         nz = (ehh_new != 0) | (ehe_new != 0)
-        in_lo = (jj >= begc) & (jj < endc)
+        in_lo = (jj >= beg_i) & (jj < end_i)
         first_nz = jnp.min(jnp.where(in_lo & nz, jj, jnp.int32(1 << 28)),
-                           axis=1)
+                           axis=0, keepdims=True)
         beg_new = jnp.minimum(first_nz, end_i)
-        in_hi = (jj >= beg_new[:, None]) & (jj <= endc)
-        last_nz = jnp.max(jnp.where(in_hi & nz, jj, beg_new[:, None] - 1),
-                          axis=1)
+        in_hi = (jj >= beg_new) & (jj <= end_i)
+        last_nz = jnp.max(jnp.where(in_hi & nz, jj, beg_new - 1),
+                          axis=0, keepdims=True)
         end_new = jnp.minimum(last_nz + 2, qlen)
 
         keep = active & (~terminated)
-        sel = keep[:, None]
-        ehh_ref[:] = jnp.where(sel, ehh_new, ehh)
-        ehe_ref[:] = jnp.where(sel, ehe_new, ehe)
+        ehh_ref[:] = jnp.where(keep, ehh_new, ehh)
+        ehe_ref[:] = jnp.where(keep, ehe_new, ehe)
         return dict(
             beg=jnp.where(keep, beg_new, st["beg"]),
             end=jnp.where(keep, end_new, st["end"]),
@@ -200,7 +204,7 @@ def banded_sw_extend_batch_pallas(
     """Drop-in equivalent of banded_sw_extend_batch (same result contract)."""
     B0, Q = q_codes.shape
     T = t_codes.shape[1]
-    W = max(128, -(-(Q + 2) // 128) * 128)  # lane-dim padded to 128s
+    W = max(128, -(-(Q + 2) // 128) * 128)  # padded query/band extent
     BT = min(bt, max(8, B0))
     B = -(-B0 // BT) * BT  # pad batch to the tile multiple
     q_codes = q_codes.astype(jnp.int32)
@@ -216,15 +220,16 @@ def banded_sw_extend_batch_pallas(
     w_eff = jnp.minimum(jnp.minimum(ws, jnp.maximum(max_ins, 1)),
                         jnp.maximum(max_del, 1))
 
-    # score profile qp[b, c, j] = mat[c, q[b, j]] padded to (B, 5, W)
+    # transposed score profile qp[c, j, b] = mat[c, q[b, j]]
     qp = jnp.take_along_axis(
         jnp.broadcast_to(mat[None, :, :], (B0, 5, 5)),
-        jnp.clip(q_codes, 0, 4)[:, None, :], axis=2)
+        jnp.clip(q_codes, 0, 4)[:, None, :], axis=2)   # (B0, 5, Q)
     qp = jnp.pad(qp, ((0, B - B0), (0, 0), (0, W - Q)))
-    t_pad = jnp.pad(t_codes, ((0, B - B0), (0, 0)))
+    qp = jnp.transpose(qp, (1, 2, 0))                  # (5, W, B)
+    t_pad = jnp.pad(t_codes, ((0, B - B0), (0, 0))).T  # (T, B)
     par = jnp.stack([qlen.astype(jnp.int32), tlen.astype(jnp.int32),
-                     h0.astype(jnp.int32), w_eff.astype(jnp.int32)], axis=1)
-    par = jnp.pad(par, ((0, B - B0), (0, 0)))
+                     h0.astype(jnp.int32), w_eff.astype(jnp.int32)], axis=0)
+    par = jnp.pad(par, ((0, 0), (0, B - B0)))          # (4, B)
 
     kern = functools.partial(
         _kernel, T=T, W=W, o_del=o_del, e_del=e_del, o_ins=o_ins,
@@ -233,18 +238,18 @@ def banded_sw_extend_batch_pallas(
     outs = pl.pallas_call(
         kern,
         grid=grid,
-        out_shape=[jax.ShapeDtypeStruct((B,), jnp.int32)] * 6,
+        out_shape=[jax.ShapeDtypeStruct((1, B), jnp.int32)] * 6,
         in_specs=[
-            pl.BlockSpec((BT, 5, W), lambda g: (g, 0, 0)),   # qp
-            pl.BlockSpec((BT, T), lambda g: (g, 0)),         # t codes
-            pl.BlockSpec((BT, 4), lambda g: (g, 0)),         # par
+            pl.BlockSpec((5, W, BT), lambda g: (0, 0, g)),   # qp
+            pl.BlockSpec((T, BT), lambda g: (0, g)),         # t codes (T, B)
+            pl.BlockSpec((4, BT), lambda g: (0, g)),         # par
         ],
-        out_specs=[pl.BlockSpec((BT,), lambda g: (g,))] * 6,
+        out_specs=[pl.BlockSpec((1, BT), lambda g: (0, g))] * 6,
         scratch_shapes=[
-            pltpu.VMEM((BT, W), jnp.int32),  # ehh
-            pltpu.VMEM((BT, W), jnp.int32),  # ehe
+            pltpu.VMEM((W, BT), jnp.int32),  # ehh
+            pltpu.VMEM((W, BT), jnp.int32),  # ehe
         ],
         interpret=interpret,
     )(qp, t_pad, par)
     keys = ("score", "qle", "tle", "gtle", "gscore", "max_off")
-    return {k: v[:B0] for k, v in zip(keys, outs)}
+    return {k: v[0, :B0] for k, v in zip(keys, outs)}

@@ -72,12 +72,12 @@ class DeviceIndex:
     #                          gather per 64 bases instead of two 8-byte ones
     wide: bool = False             # int64 ranks/positions (texts >= 2^31
     #                          suffixes, e.g. human text+RC = 6.2e9); needs
-    #                          jax_enable_x64; sa plane is int64 and the
-    #                          windows come from params64
-    params64: jax.Array | None = None  # int64[L,4] wide leaf records:
-    #                          (leaf_start, leaf_end, err_lo, err_hi) —
+    #                          jax_enable_x64; sa plane is int64 and leaf
+    #                          starts come from params64
+    params64: jax.Array | None = None  # int64[L+1] wide leaf-start plane:
     #                          33-bit-plus leaf bounds that no longer fit
-    #                          the fused uint32 rows
+    #                          the fused uint32 rows (errors stay in the
+    #                          uint32 rows — enforced < 2^31 at upload)
 
     @staticmethod
     def from_host(idx, ert_bits: int | None = None, mesh=None,
@@ -128,17 +128,16 @@ class DeviceIndex:
             return p
 
         def _wide_rmi_params(idx):
-            """(L, 4) int64 leaf records for wide indexes: (leaf_start,
-            leaf_end, err_lo, err_hi) — the alpha/beta f32 bits stay in the
-            uint32 rows. Two row gathers per window instead of one."""
-            ls = np.asarray(idx.rmi_leaf_start, np.int64)
-            L = len(ls) - 1
-            p = np.empty((L, 4), np.int64)
-            p[:, 0] = ls[:-1]
-            p[:, 1] = ls[1:]
-            p[:, 2] = np.asarray(idx.rmi_err_lo, np.int64)
-            p[:, 3] = np.asarray(idx.rmi_err_hi, np.int64)
-            return p
+            """int64[L+1] leaf-start plane for wide indexes (le = next ls);
+            the f32 model bits and the error widths stay in the uint32 rows
+            (a learned model whose window exceeds int32 is degenerate —
+            rejected loudly rather than widened)."""
+            if (np.asarray(idx.rmi_err_lo, np.int64).max(initial=0) >= 2**31
+                    or np.asarray(idx.rmi_err_hi,
+                                  np.int64).max(initial=0) >= 2**31):
+                raise ValueError("P-RMI error window >= 2^31: degenerate "
+                                 "model; retrain with more leaf bits")
+            return np.asarray(idx.rmi_leaf_start, np.int64)
 
         n_shards_req = 1 if mesh is None else int(mesh.shape[shard_axis])
         if wide is None:
@@ -431,9 +430,6 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
     if root == "kmer":
         tab = np.asarray(di.kmer_table)
         max_width = int(np.max(tab[1:] - tab[:-1])) if len(tab) > 1 else 1
-    elif wide:
-        p_host = np.asarray(di.params64)
-        max_width = int(np.max(p_host[:, 2] + p_host[:, 3]))
     else:
         p_host = np.asarray(di.params)
         max_width = int(np.max(p_host[:, 4].astype(np.int64)
@@ -534,17 +530,16 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             rec = jnp.take(d.params, leaf, axis=0, mode="clip")
             alpha = jax.lax.bitcast_convert_type(rec[..., 2], jnp.float32)
             beta = jax.lax.bitcast_convert_type(rec[..., 3], jnp.float32)
+            elo = rec[..., 4].astype(jnp.int32)
+            ehi = rec[..., 5].astype(jnp.int32)
             if wide:
-                # 33-bit-plus leaf bounds live in the int64 records (the
-                # uint32 rows keep only the f32 model bits)
-                rec64 = jnp.take(d.params64, leaf, axis=0, mode="clip")
-                ls, le = rec64[..., 0], rec64[..., 1]
-                elo, ehi = rec64[..., 2], rec64[..., 3]
+                # 33-bit-plus leaf starts live in the int64 plane (the
+                # uint32 rows keep the f32 model bits + error widths)
+                ls = jnp.take(d.params64, leaf, mode="clip")
+                le = jnp.take(d.params64, leaf + 1, mode="clip")
             else:
                 ls = rec[..., 0].astype(jnp.int32)
                 le = rec[..., 1].astype(jnp.int32)
-                elo = rec[..., 4].astype(jnp.int32)
-                ehi = rec[..., 5].astype(jnp.int32)
             cnt = (le - ls).astype(jnp.float32)
             predf = jnp.clip(alpha + beta * rel, 0.0, cnt)
             pred = ls + predf.astype(IT)

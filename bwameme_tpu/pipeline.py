@@ -171,6 +171,20 @@ class Aligner:
         while recs and recs[-1] is _PAD_REC:  # drop shape-padding reads
             recs = recs[: len(recs) - 1]
             regs_per_read = regs_per_read[: len(recs)]
+        if getattr(self, "_use_native_finalize", True):
+            # the whole kernel-3 loop in C++ (native.finalize_se_c;
+            # byte-identical to the Python contract below, differentially
+            # tested in tests/test_native_finalize.py) — the Python loop
+            # remains the documented reference implementation
+            from bwameme_tpu.align import native
+
+            out = native.finalize_se_native(
+                self.opt, self.idx.bns, self.idx.text, recs, regs_per_read,
+                self.rg_id, self.n_processed)
+            if out is not None:
+                self.n_processed += len(recs)
+                return out
+            self._use_native_finalize = False
         opt, idx = self.opt, self.idx
         bns, text = idx.bns, idx.text
         out = []

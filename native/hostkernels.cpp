@@ -1052,3 +1052,891 @@ void train_prmi_c(const uint32_t* key_hi, const uint32_t* key_lo, int64_t n,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// Native single-end finalization: the whole per-read kernel-3 loop —
+// mem_sort_dedup_patch + mem_mark_primary_se + mem_approx_mapq_se +
+// mem_reorder_primary5 + mem_gen_alt (XA) + mem_reg2aln (CIGAR/NM/MD) +
+// mem_aln2sam — as one batch call emitting finished SAM text.
+//
+// Bit/byte-identical port of align/finalize.py + align/alt.py (which remain
+// the documented contracts; reference provenance src/bwamem.cpp:194-2313,
+// src/bwamem_extra.cpp:122-183, src/bwa.cpp bwa_gen_cigar2). Every float
+// expression replicates the Python operation order in double precision and
+// int(x) truncation.
+
+#include <cmath>
+#include <string>
+
+namespace fin {
+
+struct Reg {
+  int64_t rb, re;
+  int32_t qb, qe, rid, score, truesc, sub, csub, sub_n, alt_sc, w, seedcov;
+  int32_t secondary, secondary_all, n_comp;
+  uint64_t hash;
+  double frac_rep;
+  bool is_alt;
+};
+
+struct Opts {
+  const int8_t* mat;
+  int64_t o_del, e_del, o_ins, e_ins, a, b, T, w, max_chain_gap,
+      min_seed_len, flag, max_XA_hits, max_XA_hits_alt, mapQ_coef_fac,
+      extra_flag;
+  double mask_level, mask_level_redun, drop_ratio, XA_drop_ratio,
+      mapQ_coef_len;
+};
+
+struct Ref {
+  const uint8_t* text;
+  int64_t l_pac;
+  int32_t n_ctg;
+  const int64_t* ctg_off;            // n_ctg contig start offsets
+  const char* ctg_names;
+  const int64_t* ctg_name_off;       // n_ctg+1
+  const uint8_t* ctg_is_alt;
+};
+
+constexpr int32_t kIntMax = 0x7FFFFFFF;
+constexpr double kPatchMaxRBw = 0.05;
+constexpr double kPatchMinScRatio = 0.90;
+
+inline uint64_t hash_64(uint64_t key) {
+  key = key + ~(key << 32);
+  key ^= key >> 22;
+  key = key + ~(key << 13);
+  key ^= key >> 8;
+  key = key + (key << 3);
+  key ^= key >> 15;
+  key = key + ~(key << 27);
+  key ^= key >> 31;
+  return key;
+}
+
+inline int32_t infer_bw(int64_t l1, int64_t l2, int64_t score, int64_t a,
+                        int64_t q, int64_t r) {
+  if (l1 == l2 && l1 * a - score < ((q + r - a) << 1)) return 0;
+  int64_t w = (int64_t)((double)((l1 < l2 ? l1 : l2) * a - score - q) /
+                            (double)r + 2.0);
+  int64_t d = l1 > l2 ? l1 - l2 : l2 - l1;
+  return (int32_t)(w > d ? w : d);
+}
+
+struct CigRes {
+  int32_t score = 0;
+  bool has = false;            // cigar computed (None in Python otherwise)
+  std::vector<uint32_t> cig;   // len<<4 | op (0=M 1=I 2=D 3=S)
+  int32_t NM = -1;
+  std::string md;
+};
+
+// bwa_gen_cigar2 (finalize.py:gen_cigar). need_md=false skips the NM/MD walk
+// (mem_patch_reg only needs the score).
+static CigRes gen_cigar(const Opts& o, const Ref& ref, int32_t w,
+                        const uint8_t* query, int32_t l_query, int64_t rb,
+                        int64_t re, bool need_md) {
+  CigRes out;
+  if (l_query <= 0 || rb >= re || (rb < ref.l_pac && re > ref.l_pac))
+    return out;
+  int32_t rlen = (int32_t)(re - rb);
+  std::vector<uint8_t> rseq(ref.text + rb, ref.text + re);
+  std::vector<uint8_t> q(query, query + l_query);
+  if (rb >= ref.l_pac) {
+    std::reverse(q.begin(), q.end());
+    std::reverse(rseq.begin(), rseq.end());
+  }
+  out.has = true;
+  if (l_query == rlen && w == 0) {
+    out.cig.push_back(((uint32_t)l_query << 4) | 0);
+    int64_t sc = 0;
+    for (int32_t j = 0; j < l_query; ++j)
+      sc += o.mat[(rseq[j] > 4 ? 4 : rseq[j]) * 5 + (q[j] > 4 ? 4 : q[j])];
+    out.score = (int32_t)sc;
+  } else {
+    int64_t a = o.mat[0];
+    int32_t max_ins = (int32_t)((double)(((l_query + 1) >> 1) * a - o.o_ins) /
+                                    (double)o.e_ins + 1.0);
+    int32_t max_del = (int32_t)((double)(((l_query + 1) >> 1) * a - o.o_del) /
+                                    (double)o.e_del + 1.0);
+    int32_t max_gap = max_ins > max_del ? max_ins : max_del;
+    if (max_gap < 1) max_gap = 1;
+    int32_t ww = (max_gap + (rlen > l_query ? rlen - l_query
+                                            : l_query - rlen) + 1) >> 1;
+    if (ww > w) ww = w;
+    int32_t min_w = (rlen > l_query ? rlen - l_query : l_query - rlen) + 3;
+    if (ww < min_w) ww = min_w;
+    // clamp query/ref codes to 0..4 for the DP (matches the python wrapper)
+    for (auto& c : q) if (c > 4) c = 4;
+    std::vector<uint8_t> rc(rseq);
+    for (auto& c : rc) if (c > 4) c = 4;
+    int32_t cap = l_query + rlen + 4;
+    for (;;) {
+      out.cig.resize(cap);
+      int32_t n = 0;
+      int32_t sc = sw_global_c(q.data(), l_query, rc.data(), rlen, o.mat,
+                               (int32_t)o.o_del, (int32_t)o.e_del,
+                               (int32_t)o.o_ins, (int32_t)o.e_ins, ww,
+                               out.cig.data(), cap, &n);
+      if (sc == NEG_INF) { cap *= 2; continue; }
+      out.score = sc;
+      out.cig.resize(n);
+      break;
+    }
+  }
+  if (!need_md) return out;
+  // NM / MD over the (possibly reversed) q/rseq, raw codes
+  const char* int2base = rb < ref.l_pac ? "ACGTN" : "TGCAN";
+  std::string md;
+  int32_t x = 0, y = 0, u = 0;
+  int64_t n_mm = 0, n_gap = 0;
+  const size_t nc = out.cig.size();
+  char tmp[24];
+  for (size_t k = 0; k < nc; ++k) {
+    int32_t op = out.cig[k] & 0xF;
+    int32_t ln = (int32_t)(out.cig[k] >> 4);
+    if (op == 0) {
+      int32_t prev = -1;
+      for (int32_t i = 0; i < ln; ++i) {
+        if (q[x + i] != rseq[y + i]) {
+          md.append(tmp, snprintf(tmp, sizeof tmp, "%d", u + i - prev - 1));
+          uint8_t rc = rseq[y + i];
+          md.push_back(int2base[rc > 4 ? 4 : rc]);
+          u = 0;
+          prev = i;
+          ++n_mm;
+        }
+      }
+      u += ln - 1 - prev;
+      x += ln;
+      y += ln;
+    } else if (op == 2) {
+      if (k > 0 && k + 1 < nc) {
+        md.append(tmp, snprintf(tmp, sizeof tmp, "%d", u));
+        md.push_back('^');
+        for (int32_t i = 0; i < ln; ++i) {
+          uint8_t rc = rseq[y + i];
+          md.push_back(int2base[rc > 4 ? 4 : rc]);
+        }
+        u = 0;
+        n_gap += ln;
+      }
+      y += ln;
+    } else if (op == 1) {
+      x += ln;
+      n_gap += ln;
+    }
+  }
+  md.append(tmp, snprintf(tmp, sizeof tmp, "%d", u));
+  out.NM = (int32_t)(n_mm + n_gap);
+  out.md = std::move(md);
+  return out;
+}
+
+// mem_patch_reg (finalize.py:127). Returns patched score (0 = no patch) and
+// the patch band width.
+static void patch_reg(const Opts& o, const Ref& ref, const uint8_t* query,
+                      const Reg& a, const Reg& b, int32_t* score_out,
+                      int32_t* w_out) {
+  *score_out = 0;
+  *w_out = 0;
+  if (a.rb < ref.l_pac && ref.l_pac <= b.rb) return;
+  if (a.qb >= b.qb || a.qe >= b.qe || a.re >= b.re) return;
+  int64_t w64 = (a.re - b.rb) - (int64_t)(a.qe - b.qb);
+  if (w64 < 0) w64 = -w64;
+  double r = (double)(a.re - b.rb) / (double)(b.re - a.rb) -
+             (double)(a.qe - b.qb) / (double)(b.qe - a.qb);
+  if (r < 0) r = -r;
+  if (a.re < b.rb || a.qe < b.qb) {
+    if (w64 > (o.w << 1) || r >= kPatchMaxRBw) return;
+  } else if (w64 > (o.w << 2) || r >= kPatchMaxRBw * 2) {
+    return;
+  }
+  w64 += a.w + b.w;
+  if (w64 > (o.w << 2)) w64 = o.w << 2;
+  CigRes g = gen_cigar(o, ref, (int32_t)w64, query + a.qb,
+                       (int32_t)(b.qe - a.qb), a.rb, b.re, false);
+  if (!g.has) return;
+  int32_t q_s = (int32_t)((double)(b.qe - a.qb) /
+                              ((double)(b.qe - b.qb) + (double)(a.qe - a.qb)) *
+                              (double)(b.score + a.score) + 0.499);
+  int32_t r_s = (int32_t)((double)(b.re - a.rb) /
+                              ((double)(b.re - b.rb) + (double)(a.re - a.rb)) *
+                              (double)(b.score + a.score) + 0.499);
+  int32_t m = q_s > r_s ? q_s : r_s;
+  if ((double)g.score / (double)m < kPatchMinScRatio) return;
+  *score_out = g.score;
+  *w_out = (int32_t)w64;
+}
+
+// mem_sort_dedup_patch (finalize.py:155).
+static void sort_dedup_patch(const Opts& o, const Ref& ref,
+                             const uint8_t* query, std::vector<Reg>& regs) {
+  if (regs.size() <= 1) return;
+  std::stable_sort(regs.begin(), regs.end(),
+                   [](const Reg& x, const Reg& y) { return x.re < y.re; });
+  for (auto& r : regs) r.n_comp = 1;
+  const int64_t n = (int64_t)regs.size();
+  for (int64_t i = 1; i < n; ++i) {
+    Reg& p = regs[i];
+    if (p.rid != regs[i - 1].rid ||
+        p.rb >= regs[i - 1].re + o.max_chain_gap)
+      continue;
+    int64_t j = i - 1;
+    while (j >= 0 && p.rid == regs[j].rid &&
+           p.rb < regs[j].re + o.max_chain_gap) {
+      Reg& q = regs[j];
+      --j;
+      if (q.qe == q.qb) continue;
+      int64_t or_ = q.re - p.rb;
+      int64_t oq = q.qb < p.qb ? q.qe - p.qb : p.qe - q.qb;
+      int64_t mr = std::min(q.re - q.rb, p.re - p.rb);
+      int64_t mq = std::min((int64_t)(q.qe - q.qb), (int64_t)(p.qe - p.qb));
+      if ((double)or_ > o.mask_level_redun * (double)mr &&
+          (double)oq > o.mask_level_redun * (double)mq) {
+        if (p.score < q.score) {
+          p.qe = p.qb;
+          break;
+        } else {
+          q.qe = q.qb;
+        }
+      } else if (q.rb < p.rb) {
+        int32_t sc, w;
+        patch_reg(o, ref, query, q, p, &sc, &w);
+        if (sc > 0) {
+          p.n_comp += q.n_comp + 1;
+          p.seedcov = std::max(p.seedcov, q.seedcov);
+          p.sub = std::max(p.sub, q.sub);
+          p.csub = std::max(p.csub, q.csub);
+          p.qb = q.qb;
+          p.rb = q.rb;
+          p.truesc = p.score = sc;
+          p.w = w;
+          q.qb = q.qe;
+        }
+      }
+    }
+  }
+  std::vector<Reg> kept;
+  kept.reserve(regs.size());
+  for (auto& r : regs)
+    if (r.qe > r.qb) kept.push_back(r);
+  std::stable_sort(kept.begin(), kept.end(),
+                   [](const Reg& x, const Reg& y) {
+                     if (x.score != y.score) return x.score > y.score;
+                     if (x.rb != y.rb) return x.rb < y.rb;
+                     return x.qb < y.qb;
+                   });
+  for (size_t i = 1; i < kept.size(); ++i)
+    if (kept[i].score == kept[i - 1].score && kept[i].rb == kept[i - 1].rb &&
+        kept[i].qb == kept[i - 1].qb)
+      kept[i].qe = kept[i].qb;
+  regs.clear();
+  for (size_t i = 0; i < kept.size(); ++i)
+    if (i == 0 || kept[i].qe > kept[i].qb) regs.push_back(kept[i]);
+}
+
+// mem_mark_primary_se_core (finalize.py:207).
+static void mark_primary_core(const Opts& o, std::vector<Reg>& a, size_t n) {
+  int64_t tmp = std::max({o.a + o.b, o.o_del + o.e_del, o.o_ins + o.e_ins});
+  std::vector<size_t> z;
+  z.push_back(0);
+  for (size_t i = 1; i < n; ++i) {
+    int64_t hit = -1;
+    for (size_t ki = 0; ki < z.size(); ++ki) {
+      size_t k = z[ki];
+      int32_t b_max = std::max(a[k].qb, a[i].qb);
+      int32_t e_min = std::min(a[k].qe, a[i].qe);
+      if (e_min > b_max) {
+        int32_t min_l = std::min(a[i].qe - a[i].qb, a[k].qe - a[k].qb);
+        if ((double)(e_min - b_max) >= (double)min_l * o.mask_level) {
+          if (a[k].sub == 0) a[k].sub = a[i].score;
+          if (a[k].score - a[i].score <= tmp &&
+              (a[k].is_alt || !a[i].is_alt))
+            a[k].sub_n += 1;
+          hit = (int64_t)k;
+          break;
+        }
+      }
+    }
+    if (hit < 0)
+      z.push_back(i);
+    else
+      a[i].secondary = (int32_t)hit;
+  }
+}
+
+// mem_mark_primary_se (finalize.py:230); reorders regs in place.
+static void mark_primary(const Opts& o, std::vector<Reg>& regs,
+                         int64_t rid_counter) {
+  size_t n = regs.size();
+  if (n == 0) return;
+  size_t n_pri = 0;
+  for (size_t i = 0; i < n; ++i) {
+    Reg& r = regs[i];
+    r.sub = 0;
+    r.alt_sc = 0;
+    r.secondary = -1;
+    r.secondary_all = -1;
+    r.hash = hash_64((uint64_t)(rid_counter + (int64_t)i));
+    if (!r.is_alt) ++n_pri;
+  }
+  std::stable_sort(regs.begin(), regs.end(),
+                   [](const Reg& x, const Reg& y) {
+                     if (x.score != y.score) return x.score > y.score;
+                     if (x.is_alt != y.is_alt) return !x.is_alt;
+                     return x.hash < y.hash;
+                   });
+  mark_primary_core(o, regs, n);
+  for (size_t i = 0; i < n; ++i) {
+    Reg& p = regs[i];
+    p.secondary_all = (int32_t)i;
+    if (!p.is_alt && p.secondary >= 0 && regs[p.secondary].is_alt)
+      p.alt_sc = regs[p.secondary].score;
+  }
+  if (n_pri < n) {
+    if (n_pri > 0)
+      std::stable_sort(regs.begin(), regs.end(),
+                       [](const Reg& x, const Reg& y) {
+                         if (x.is_alt != y.is_alt) return !x.is_alt;
+                         if (x.score != y.score) return x.score > y.score;
+                         return x.hash < y.hash;
+                       });
+    std::vector<int32_t> z(n);
+    for (size_t i = 0; i < n; ++i) z[regs[i].secondary_all] = (int32_t)i;
+    for (size_t i = 0; i < n; ++i) {
+      if (regs[i].secondary >= 0) {
+        regs[i].secondary_all = z[regs[i].secondary];
+        if (regs[i].is_alt) regs[i].secondary = kIntMax;
+      } else {
+        regs[i].secondary_all = -1;
+      }
+    }
+    if (n_pri > 0) {
+      for (size_t i = 0; i < n_pri; ++i) {
+        regs[i].sub = 0;
+        regs[i].secondary = -1;
+      }
+      mark_primary_core(o, regs, n_pri);
+    }
+  } else {
+    for (auto& r : regs) r.secondary_all = r.secondary;
+  }
+}
+
+// mem_approx_mapq_se (finalize.py:275).
+static int32_t approx_mapq(const Opts& o, const Reg& a) {
+  int64_t sub = a.sub ? a.sub : o.min_seed_len * o.a;
+  if (a.csub > sub) sub = a.csub;
+  if (sub >= a.score) return 0;
+  int64_t l = std::max((int64_t)(a.qe - a.qb), a.re - a.rb);
+  double identity =
+      1.0 - (double)(l * o.a - a.score) / (double)(o.a + o.b) / (double)l;
+  int64_t mapq;
+  if (a.score == 0) {
+    mapq = 0;
+  } else if (o.mapQ_coef_len > 0) {
+    double tmp = (double)l < o.mapQ_coef_len
+                     ? 1.0
+                     : (double)o.mapQ_coef_fac / std::log((double)l);
+    tmp *= identity * identity;
+    mapq = (int64_t)(6.02 * (double)(a.score - sub) / (double)o.a * tmp *
+                         tmp + 0.499);
+  } else {
+    mapq = (int64_t)(30.0 * (1.0 - (double)sub / (double)a.score) *
+                         std::log((double)a.seedcov) + 0.499);
+    if (identity < 0.95)
+      mapq = (int64_t)((double)mapq * identity * identity + 0.499);
+  }
+  if (a.sub_n > 0)
+    mapq -= (int64_t)(4.343 * std::log((double)a.sub_n + 1.0) + 0.499);
+  if (mapq > 60) mapq = 60;
+  if (mapq < 0) mapq = 0;
+  mapq = (int64_t)((double)mapq * (1.0 - a.frac_rep) + 0.499);
+  return (int32_t)mapq;
+}
+
+// mem_reorder_primary5 (finalize.py:301).
+static void reorder_primary5(const Opts& o, std::vector<Reg>& a) {
+  int64_t n_pri = 0;
+  for (auto& p : a)
+    if (p.secondary < 0 && !p.is_alt && p.score >= o.T) ++n_pri;
+  if (n_pri <= 1) return;
+  int32_t left_st = kIntMax;
+  int64_t left_k = -1;
+  for (size_t k = 0; k < a.size(); ++k) {
+    const Reg& p = a[k];
+    if (p.secondary >= 0 || p.is_alt || p.score < o.T) continue;
+    if (p.qb < left_st) {
+      left_st = p.qb;
+      left_k = (int64_t)k;
+    }
+  }
+  if (left_k == 0) return;
+  std::swap(a[0], a[left_k]);
+  for (size_t k = 1; k < a.size(); ++k) {
+    Reg& p = a[k];
+    if (p.secondary == 0)
+      p.secondary = (int32_t)left_k;
+    else if (p.secondary == (int32_t)left_k)
+      p.secondary = 0;
+    if (p.secondary_all == 0)
+      p.secondary_all = (int32_t)left_k;
+    else if (p.secondary_all == (int32_t)left_k)
+      p.secondary_all = 0;
+  }
+}
+
+struct Aln {
+  int64_t pos = -1;
+  int32_t rid = -1, flag = 0, mapq = 0, NM = -1, n_cigar = 0, score = -1,
+          sub = -1, alt_sc = 0;
+  bool is_rev = false, is_alt = false;
+  std::vector<uint32_t> cigar;  // len<<4|op, op 0=M 1=I 2=D 3=S
+  std::string md;
+  std::string XA;
+  bool has_XA = false;
+};
+
+inline int32_t pos2rid(const Ref& ref, int64_t pos) {
+  if (pos >= ref.l_pac) return -1;
+  // searchsorted(offsets, pos, 'right') - 1
+  int32_t lo = 0, hi = ref.n_ctg;
+  while (lo < hi) {
+    int32_t mid = (lo + hi) >> 1;
+    if (ref.ctg_off[mid] <= pos)
+      lo = mid + 1;
+    else
+      hi = mid;
+  }
+  return lo - 1;
+}
+
+// mem_reg2aln (finalize.py:347).
+static Aln reg2aln(const Opts& o, const Ref& ref, int32_t l_query,
+                   const uint8_t* query, const Reg* ar) {
+  Aln a;
+  if (ar == nullptr || ar->rb < 0 || ar->re < 0) {
+    a.rid = -1;
+    a.pos = -1;
+    a.flag |= 0x4;
+    return a;
+  }
+  int32_t qb = ar->qb, qe = ar->qe;
+  int64_t rb = ar->rb, re = ar->re;
+  a.mapq = ar->secondary < 0 ? approx_mapq(o, *ar) : 0;
+  if (ar->secondary >= 0) a.flag |= 0x100;
+  int32_t w2 = std::max(
+      infer_bw(qe - qb, re - rb, ar->truesc, o.a, o.o_del, o.e_del),
+      infer_bw(qe - qb, re - rb, ar->truesc, o.a, o.o_ins, o.e_ins));
+  if (w2 > o.w) w2 = std::min((int64_t)w2, (int64_t)ar->w);
+  int32_t last_sc = -(1 << 30);
+  int32_t i = 0;
+  CigRes g;
+  for (;;) {
+    if (w2 > (o.w << 2)) w2 = (int32_t)(o.w << 2);
+    g = gen_cigar(o, ref, w2, query + qb, qe - qb, rb, re, true);
+    if (g.score == last_sc || w2 == (o.w << 2)) break;
+    last_sc = g.score;
+    w2 <<= 1;
+    ++i;
+    if (!(i < 3 && g.score < ar->truesc - o.a)) break;
+  }
+  a.NM = g.NM;
+  a.md = std::move(g.md);
+  int64_t dp = rb < ref.l_pac ? rb : re - 1;
+  bool is_rev = dp >= ref.l_pac;
+  int64_t pos = is_rev ? (ref.l_pac << 1) - 1 - dp : dp;
+  a.is_rev = is_rev;
+  std::vector<uint32_t> cig;
+  if (g.has) cig = std::move(g.cig);
+  if (!cig.empty()) {
+    if ((cig.front() & 0xF) == 2) {
+      pos += cig.front() >> 4;
+      cig.erase(cig.begin());
+    } else if ((cig.back() & 0xF) == 2) {
+      cig.pop_back();
+    }
+  }
+  if (qb != 0 || qe != l_query) {
+    int32_t clip5 = a.is_rev ? l_query - qe : qb;
+    int32_t clip3 = a.is_rev ? qb : l_query - qe;
+    if (clip5) cig.insert(cig.begin(), ((uint32_t)clip5 << 4) | 3);
+    if (clip3) cig.push_back(((uint32_t)clip3 << 4) | 3);
+  }
+  a.cigar = std::move(cig);
+  a.n_cigar = (int32_t)a.cigar.size();
+  a.rid = pos2rid(ref, pos);
+  a.pos = pos - ref.ctg_off[a.rid];
+  a.score = ar->score;
+  a.sub = std::max(ar->sub, ar->csub);
+  a.is_alt = ar->is_alt;
+  a.alt_sc = ar->alt_sc;
+  return a;
+}
+
+const char kOpChr[] = "MIDSH";
+const char kOpChrXA[] = "MIDSHN";
+
+static void cigar_str(const Opts& o, const Aln& p, int32_t which,
+                      std::string& out) {
+  if (!p.n_cigar) {
+    out.push_back('*');
+    return;
+  }
+  char tmp[24];
+  for (uint32_t c : p.cigar) {
+    int32_t op = c & 0xF;
+    if (!(o.flag & 0x200 /*MEM_F_SOFTCLIP*/) && !p.is_alt &&
+        (op == 3 || op == 4))
+      op = which ? 4 : 3;
+    out.append(tmp, snprintf(tmp, sizeof tmp, "%u", c >> 4));
+    out.push_back(kOpChr[op]);
+  }
+}
+
+inline int64_t get_rlen(const std::vector<uint32_t>& cig) {
+  int64_t l = 0;
+  for (uint32_t c : cig) {
+    int32_t op = c & 0xF;
+    if (op == 0 || op == 2) l += c >> 4;
+  }
+  return l;
+}
+
+// mem_aln2sam, SE specialization (finalize.py:426, m == None).
+static void aln2sam_se(const Opts& o, const Ref& ref, const char* name,
+                       int64_t name_len, const uint8_t* codes, int64_t l_seq,
+                       const char* qual, int64_t qual_len, const char* comment,
+                       int64_t comment_len, const char* rg_id, int32_t rg_len,
+                       size_t n, const std::vector<Aln>& alns, size_t which,
+                       std::string& out) {
+  const Aln& p0 = alns[which];
+  Aln p = p0;  // copy (python dataclasses.replace)
+  if (p.rid < 0) p.flag |= 0x4;
+  if (p.is_rev) p.flag |= 0x10;
+  char tmp[48];
+  out.append(name, name_len);
+  out.push_back('\t');
+  out.append(tmp, snprintf(tmp, sizeof tmp, "%d",
+                           (p.flag & 0xFFFF) | ((p.flag & 0x10000) ? 0x100
+                                                                  : 0)));
+  out.push_back('\t');
+  if (p.rid >= 0) {
+    out.append(ref.ctg_names + ref.ctg_name_off[p.rid],
+               ref.ctg_name_off[p.rid + 1] - ref.ctg_name_off[p.rid]);
+    out.push_back('\t');
+    out.append(tmp, snprintf(tmp, sizeof tmp, "%lld",
+                             (long long)(p.pos + 1)));
+    out.push_back('\t');
+    out.append(tmp, snprintf(tmp, sizeof tmp, "%d", p.mapq));
+    out.push_back('\t');
+    cigar_str(o, p, (int32_t)which, out);
+  } else {
+    out.append("*\t0\t0\t*");
+  }
+  out.append("\t*\t0\t0\t");
+
+  // SEQ / QUAL
+  static const char kFwd[] = "ACGTN";
+  static const char kRev[] = "TGCAN";
+  if (p.flag & 0x100) {
+    out.append("*\t*");
+  } else {
+    int64_t qb = 0, qe = l_seq;
+    if (p.n_cigar && which && !(o.flag & 0x200) && !p.is_alt) {
+      int32_t op0 = p.cigar.front() & 0xF;
+      int32_t opn = p.cigar.back() & 0xF;
+      if (op0 == 3 || op0 == 4) {
+        if (p.is_rev)
+          qe -= p.cigar.front() >> 4;
+        else
+          qb += p.cigar.front() >> 4;
+      }
+      if (opn == 3 || opn == 4) {
+        if (p.is_rev)
+          qb += p.cigar.back() >> 4;
+        else
+          qe -= p.cigar.back() >> 4;
+      }
+    }
+    if (qe > qb) {
+      if (!p.is_rev) {
+        for (int64_t i = qb; i < qe; ++i)
+          out.push_back(kFwd[codes[i] > 4 ? 4 : codes[i]]);
+        out.push_back('\t');
+        if (qual_len)
+          out.append(qual + qb, qe - qb);
+        else
+          out.push_back('*');
+      } else {
+        for (int64_t i = qe - 1; i >= qb; --i)
+          out.push_back(kRev[codes[i] > 4 ? 4 : codes[i]]);
+        out.push_back('\t');
+        if (qual_len) {
+          for (int64_t i = qe - 1; i >= qb; --i) out.push_back(qual[i]);
+        } else {
+          out.push_back('*');
+        }
+      }
+    } else {
+      out.append("*\t*");
+    }
+  }
+
+  if (p.n_cigar) {
+    out.append(tmp, snprintf(tmp, sizeof tmp, "\tNM:i:%d", p.NM));
+    out.append("\tMD:Z:");
+    out.append(p.md);
+  }
+  if (p.score >= 0)
+    out.append(tmp, snprintf(tmp, sizeof tmp, "\tAS:i:%d", p.score));
+  if (p.sub >= 0)
+    out.append(tmp, snprintf(tmp, sizeof tmp, "\tXS:i:%d", p.sub));
+  if (rg_len) {
+    out.append("\tRG:Z:");
+    out.append(rg_id, rg_len);
+  }
+  if (!(p.flag & 0x100)) {
+    bool any = false;
+    for (size_t i = 0; i < n; ++i)
+      if (i != which && !(alns[i].flag & 0x100)) { any = true; break; }
+    if (any) {
+      out.append("\tSA:Z:");
+      for (size_t i = 0; i < n; ++i) {
+        const Aln& r = alns[i];
+        if (i == which || (r.flag & 0x100)) continue;
+        out.append(ref.ctg_names + ref.ctg_name_off[r.rid],
+                   ref.ctg_name_off[r.rid + 1] - ref.ctg_name_off[r.rid]);
+        out.append(tmp, snprintf(tmp, sizeof tmp, ",%lld,",
+                                 (long long)(r.pos + 1)));
+        out.push_back(r.is_rev ? '-' : '+');
+        out.push_back(',');
+        for (uint32_t c : r.cigar) {
+          out.append(tmp, snprintf(tmp, sizeof tmp, "%u", c >> 4));
+          out.push_back(kOpChr[c & 0xF]);
+        }
+        out.append(tmp, snprintf(tmp, sizeof tmp, ",%d,%d;", r.mapq, r.NM));
+      }
+    }
+    if (p.alt_sc > 0)
+      out.append(tmp, snprintf(tmp, sizeof tmp, "\tpa:f:%.3f",
+                               (double)p.score / (double)p.alt_sc));
+  }
+  if (p.has_XA) {
+    out.append("\tXA:Z:");
+    out.append(p.XA);
+  }
+  if (comment_len) {
+    out.push_back('\t');
+    out.append(comment, comment_len);
+  }
+}
+
+// mem_gen_alt (alt.py:23): XA string per reg index (after mark_primary).
+static void gen_alt(const Opts& o, const Ref& ref,
+                    const std::vector<Reg>& regs, int32_t l_query,
+                    const uint8_t* query, std::vector<std::string>& XA,
+                    std::vector<bool>& has) {
+  size_t n = regs.size();
+  XA.assign(n, std::string());
+  has.assign(n, false);
+  auto pri_idx = [&](size_t i) -> int64_t {
+    int32_t k = regs[i].secondary_all;
+    if (k >= 0 &&
+        (double)regs[i].score >= (double)regs[k].score * o.XA_drop_ratio)
+      return k;
+    return -1;
+  };
+  std::vector<int64_t> cnt(n, 0);
+  std::vector<bool> has_alt(n, false);
+  int64_t tot = 0;
+  for (size_t i = 0; i < n; ++i) {
+    int64_t r = pri_idx(i);
+    if (r >= 0) {
+      cnt[r] += 1;
+      ++tot;
+      if (regs[i].is_alt) has_alt[r] = true;
+    }
+  }
+  if (tot == 0) return;
+  char tmp[48];
+  for (size_t i = 0; i < n; ++i) {
+    int64_t r = pri_idx(i);
+    if (r < 0) continue;
+    if (cnt[r] > o.max_XA_hits_alt ||
+        (!has_alt[r] && cnt[r] > o.max_XA_hits))
+      continue;
+    Aln t = reg2aln(o, ref, l_query, query, &regs[i]);
+    std::string& s = XA[r];
+    s.append(ref.ctg_names + ref.ctg_name_off[t.rid],
+             ref.ctg_name_off[t.rid + 1] - ref.ctg_name_off[t.rid]);
+    s.push_back(',');
+    s.push_back(t.is_rev ? '-' : '+');
+    s.append(tmp, snprintf(tmp, sizeof tmp, "%lld,", (long long)(t.pos + 1)));
+    for (uint32_t c : t.cigar) {
+      s.append(tmp, snprintf(tmp, sizeof tmp, "%u", c >> 4));
+      s.push_back(kOpChrXA[c & 0xF]);
+    }
+    s.append(tmp, snprintf(tmp, sizeof tmp, ",%d;", t.NM));
+    has[r] = true;
+  }
+}
+
+// mem_reg2sam, SE (finalize.py:527): appends this read's SAM block
+// (newline-terminated lines).
+static void reg2sam_se(const Opts& o, const Ref& ref, const char* name,
+                       int64_t name_len, const uint8_t* codes, int64_t l_seq,
+                       const char* qual, int64_t qual_len, const char* comment,
+                       int64_t comment_len, const char* rg_id, int32_t rg_len,
+                       std::vector<Reg>& regs, std::string& out) {
+  int32_t l_query = (int32_t)l_seq;
+  std::vector<std::string> XA;
+  std::vector<bool> has_XA;
+  bool use_xa = !(o.flag & 0x8 /*MEM_F_ALL*/);
+  if (use_xa) gen_alt(o, ref, regs, l_query, codes, XA, has_XA);
+  std::vector<Aln> aa;
+  for (size_t k = 0; k < regs.size(); ++k) {
+    Reg& p = regs[k];
+    if (p.score < o.T) continue;
+    if (p.secondary >= 0 && (p.is_alt || !(o.flag & 0x8))) continue;
+    if (p.secondary >= 0 && p.secondary < kIntMax &&
+        (double)p.score < (double)regs[p.secondary].score * o.drop_ratio)
+      continue;
+    Aln q = reg2aln(o, ref, l_query, codes, &p);
+    if (use_xa && has_XA[k]) {
+      q.XA = XA[k];
+      q.has_XA = true;
+    }
+    q.flag |= (int32_t)o.extra_flag;
+    if (p.secondary >= 0) q.sub = -1;
+    if (!aa.empty() && p.secondary < 0)
+      q.flag |= (o.flag & 0x10 /*MEM_F_NO_MULTI*/) ? 0x10000 : 0x800;
+    if (!(o.flag & 0x1000 /*MEM_F_KEEP_SUPP_MAPQ*/) && !aa.empty() &&
+        !p.is_alt && q.mapq > aa[0].mapq)
+      q.mapq = aa[0].mapq;
+    aa.push_back(std::move(q));
+  }
+  if (aa.empty()) {
+    Aln t = reg2aln(o, ref, l_query, codes, nullptr);
+    t.flag |= (int32_t)o.extra_flag;
+    std::vector<Aln> one;
+    one.push_back(std::move(t));
+    aln2sam_se(o, ref, name, name_len, codes, l_seq, qual, qual_len, comment,
+               comment_len, rg_id, rg_len, 1, one, 0, out);
+    out.push_back('\n');
+    return;
+  }
+  for (size_t k = 0; k < aa.size(); ++k) {
+    aln2sam_se(o, ref, name, name_len, codes, l_seq, qual, qual_len, comment,
+               comment_len, rg_id, rg_len, aa.size(), aa, k, out);
+    out.push_back('\n');
+  }
+}
+
+}  // namespace fin
+
+extern "C" {
+
+// Whole-batch single-end finalization; see the Python wrapper
+// (align/native.py:finalize_se_native) for the argument layout. Returns the
+// total SAM byte count, or -(needed) when out_cap is too small (caller
+// retries with a bigger buffer).
+int64_t finalize_se_c(
+    int32_t R, const int32_t* reg_off, const int64_t* rb, const int64_t* re,
+    const int32_t* qb, const int32_t* qe, const int32_t* rid,
+    const int32_t* score, const int32_t* truesc, const int32_t* sub,
+    const int32_t* csub, const int32_t* w_arr, const int32_t* seedcov,
+    const double* frac_rep, const uint8_t* reg_is_alt, const uint8_t* qcodes,
+    const int64_t* qoff, const char* names, const int64_t* name_off,
+    const char* quals, const int64_t* qual_off, const char* comments,
+    const int64_t* comm_off, const uint8_t* text, int64_t l_pac,
+    int32_t n_ctg, const int64_t* ctg_off, const char* ctg_names,
+    const int64_t* ctg_name_off, const uint8_t* ctg_is_alt,
+    const int8_t* mat, const int64_t* iopt, const double* dopt,
+    const char* rg_id, int32_t rg_len, char* out_buf, int64_t out_cap,
+    int64_t* out_off) {
+  fin::Opts o;
+  o.mat = mat;
+  o.o_del = iopt[0];
+  o.e_del = iopt[1];
+  o.o_ins = iopt[2];
+  o.e_ins = iopt[3];
+  o.a = iopt[4];
+  o.b = iopt[5];
+  o.T = iopt[6];
+  o.w = iopt[7];
+  o.max_chain_gap = iopt[8];
+  o.min_seed_len = iopt[9];
+  o.flag = iopt[10];
+  o.max_XA_hits = iopt[11];
+  o.max_XA_hits_alt = iopt[12];
+  o.mapQ_coef_fac = iopt[13];
+  o.extra_flag = iopt[14];
+  int64_t n_processed = iopt[15];
+  o.mask_level = dopt[0];
+  o.mask_level_redun = dopt[1];
+  o.drop_ratio = dopt[2];
+  o.XA_drop_ratio = dopt[3];
+  o.mapQ_coef_len = dopt[4];
+
+  fin::Ref ref;
+  ref.text = text;
+  ref.l_pac = l_pac;
+  ref.n_ctg = n_ctg;
+  ref.ctg_off = ctg_off;
+  ref.ctg_names = ctg_names;
+  ref.ctg_name_off = ctg_name_off;
+  ref.ctg_is_alt = ctg_is_alt;
+
+  std::string out;
+  out.reserve((size_t)(out_cap > 0 ? out_cap : 1024));
+  std::vector<int64_t> offs(R + 1, 0);
+  std::vector<fin::Reg> regs;
+  for (int32_t li = 0; li < R; ++li) {
+    regs.clear();
+    for (int32_t g = reg_off[li]; g < reg_off[li + 1]; ++g) {
+      if (qe[g] <= qb[g]) continue;
+      fin::Reg r;
+      r.rb = rb[g];
+      r.re = re[g];
+      r.qb = qb[g];
+      r.qe = qe[g];
+      r.rid = rid[g];
+      r.score = score[g];
+      r.truesc = truesc[g];
+      r.sub = sub[g];
+      r.csub = csub[g];
+      r.sub_n = 0;
+      r.alt_sc = 0;
+      r.w = w_arr[g];
+      r.seedcov = seedcov[g];
+      r.secondary = -1;
+      r.secondary_all = -1;
+      r.n_comp = 1;
+      r.hash = 0;
+      r.frac_rep = frac_rep[g];
+      r.is_alt = reg_is_alt[g] != 0;
+      regs.push_back(r);
+    }
+    const uint8_t* codes = qcodes + qoff[li];
+    int64_t l_seq = qoff[li + 1] - qoff[li];
+    fin::sort_dedup_patch(o, ref, codes, regs);
+    for (auto& r : regs)
+      if (r.rid >= 0 && ctg_is_alt[r.rid]) r.is_alt = true;
+    fin::mark_primary(o, regs, n_processed + li);
+    if (o.flag & 0x800 /*MEM_F_PRIMARY5*/) fin::reorder_primary5(o, regs);
+    fin::reg2sam_se(o, ref, names + name_off[li],
+                    name_off[li + 1] - name_off[li], codes, l_seq,
+                    quals + qual_off[li], qual_off[li + 1] - qual_off[li],
+                    comments + comm_off[li], comm_off[li + 1] - comm_off[li],
+                    rg_id, rg_len, regs, out);
+    offs[li + 1] = (int64_t)out.size();
+  }
+  for (int32_t i = 0; i <= R; ++i) out_off[i] = offs[i];
+  if ((int64_t)out.size() > out_cap) return -(int64_t)out.size();
+  std::memcpy(out_buf, out.data(), out.size());
+  return (int64_t)out.size();
+}
+
+}  // extern "C"
