@@ -36,9 +36,11 @@ REF_MBP = float(os.environ.get("BWAMEME_BENCH_MBP", "8"))
 # "prmi" (learned index, the -7 path) or "kmer" (the ERT backend's
 # enumerated root) — for the backend tradeoff measurement (VERDICT #8)
 ROOT = os.environ.get("BWAMEME_BENCH_ROOT", "prmi")
-N_READS = int(os.environ.get("BWAMEME_BENCH_READS", "4096"))
+N_READS = int(os.environ.get("BWAMEME_BENCH_READS", "8192"))
 READ_LEN = 151
-BATCH = int(os.environ.get("BWAMEME_BENCH_BATCH", "2048"))
+# 4096 lanes amortize the per-op dispatch floor (~+15% over 2048, measured;
+# 8192 is flat) — see tools/profile_seed.py
+BATCH = int(os.environ.get("BWAMEME_BENCH_BATCH", "4096"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 

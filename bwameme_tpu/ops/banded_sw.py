@@ -54,16 +54,28 @@ def banded_sw_extend_batch(
 
 import os as _os
 
-# opt-in Pallas variant of the DP (ops/banded_sw_pallas.py): VMEM-resident
-# row state in one Mosaic kernel instead of an XLA while-loop carry.
-# Off until measured faster on real chips; bit-identical (differentially
-# tested in interpret mode by tests/test_banded_sw_pallas.py).
-_USE_PALLAS = _os.environ.get("BWAMEME_PALLAS", "0") == "1"
+# Pallas variant of the DP (ops/banded_sw_pallas.py): VMEM-resident row
+# state in one Mosaic kernel instead of an XLA while-loop carry. Default ON
+# for real TPU backends — measured +12% end-to-end over the XLA kernel with
+# byte-identical SAM on a v5e chip (tools/ab_extend.py, 2026-08). On CPU the
+# kernel only runs in (slow) interpret mode, so the XLA kernel stays the
+# default there; BWAMEME_PALLAS=0/1 forces either way.
+_PALLAS_ENV = _os.environ.get("BWAMEME_PALLAS", "")
+
+
+def _use_pallas():
+    if _PALLAS_ENV in ("0", "1"):
+        return _PALLAS_ENV == "1"
+    import jax as _jax
+
+    # real chips only (the axon tunnel backend also reports non-cpu);
+    # CPU would run the kernel in interpret mode — far slower than XLA
+    return _jax.default_backend() != "cpu"
 
 
 def _sw_core(q_codes, t_codes, qlen, tlen, h0, ws, mat,
              o_del, e_del, o_ins, e_ins, end_bonus, zdrop):
-    if _USE_PALLAS:
+    if _use_pallas():
         import jax as _jax
 
         from bwameme_tpu.ops.banded_sw_pallas import (

@@ -592,13 +592,13 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             """(less, lcp) of suffix sa[sa_idx] vs pattern — no loops:
             statically unrolled 32-base segments, every segment's key ONE
             independent text-position gather from ktext (chain depth 2:
-            sa -> ktext)."""
+            sa -> ktext). Segments past the first are LAZY (batch-wide
+            lax.cond): probe rounds where every lane resolves in the first
+            32 bases skip the deeper gathers (see cmp_ctx_rk)."""
             sa_pos = sa_at(sa_idx)
-            less = jnp.zeros(jnp.shape(sa_idx), jnp.bool_)
-            lcp = jnp.zeros(jnp.shape(sa_idx), jnp.int32)
-            resolved = jnp.zeros(jnp.shape(sa_idx), jnp.bool_)
-            for k in range(n_segs):
-                off = 32 * k
+
+            def seg(st, off):
+                less, lcp, resolved = st
                 khi, klo = extract_pattern_words(qbuf32, row, pivot + off)
                 skhi, sklo = _ktext_at(sa_pos + off)
                 x_hi = khi ^ skhi
@@ -611,9 +611,19 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
                 less_k = jnp.where(x_hi != 0, skhi < khi, sklo < klo)
                 less_k = jnp.where(diff_before, less_k, False)
                 lcp_k = off + jnp.minimum(lcp32, vc)
-                less = jnp.where(resolved, less, less_k)
-                lcp = jnp.where(resolved, lcp, lcp_k)
-                resolved = resolved | diff_before | (rem <= 32)
+                return (jnp.where(resolved, less, less_k),
+                        jnp.where(resolved, lcp, lcp_k),
+                        resolved | diff_before | (rem <= 32))
+
+            st = (jnp.zeros(jnp.shape(sa_idx), jnp.bool_),
+                  jnp.zeros(jnp.shape(sa_idx), jnp.int32),
+                  jnp.zeros(jnp.shape(sa_idx), jnp.bool_))
+            st = seg(st, 0)
+            for k in range(1, n_segs):
+                st = jax.lax.cond(jnp.any(~st[2]),
+                                  lambda s, _off=32 * k: seg(s, _off),
+                                  lambda s: s, st)
+            less, lcp, _ = st
             oob = (sa_idx < 0) | (sa_idx >= n_sa)
             lcp = jnp.where(oob, 0, lcp)
             less = jnp.where(sa_idx < 0, True,
@@ -693,7 +703,15 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
         def cmp_ctx_rk(aw, v, sa_idx):
             """(less, lcp) of suffix rank sa_idx vs the ctx pattern[:v]:
             rank row (position + 48 bases) in ONE 16-byte gather, deeper
-            bases in independent 64-base text-position rows."""
+            bases in independent 64-base text-position rows.
+
+            The deep rows are LAZY: each 64-base segment's gather runs
+            under a batch-wide lax.cond, so probe rounds where every lane
+            resolves within the stored 48 bases (most early binary-search
+            rounds) skip the kt64 traffic entirely — row gathers are the
+            dominant per-round cost on real chips (~0.1 ms per 4096-lane
+            16-byte row gather, measured 2026-08). Identical results by
+            construction: resolved lanes keep their values either way."""
             idx = jnp.clip(sa_idx, 0, n_sa - 1)
             r0 = rk_at(idx)                                     # (..., 4)
             sa_pos = r0[..., 0].astype(jnp.int32)
@@ -705,21 +723,28 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             lcp = jnp.minimum(l48, vc)
             less = jnp.where(diffb, less, False)
             resolved = diffb | (v <= 48)
+            st = (less, lcp, resolved)
             for k in range(n_deep):
                 off = 48 + 64 * k
-                dr = kt64_at(sa_pos + off)                      # (..., 4)
-                lk, l64 = _multiword_cmp(
-                    [dr[..., 0], dr[..., 1], dr[..., 2], dr[..., 3]],
-                    [aw[:, 3 + 4 * k], aw[:, 4 + 4 * k],
-                     aw[:, 5 + 4 * k], aw[:, 6 + 4 * k]], 64)
-                rem = v - off
-                vck = jnp.clip(rem, 0, 64)
-                diffk = l64 < vck
-                lck = off + jnp.minimum(l64, vck)
-                lk = jnp.where(diffk, lk, False)
-                less = jnp.where(resolved, less, lk)
-                lcp = jnp.where(resolved, lcp, lck)
-                resolved = resolved | diffk | (rem <= 64)
+
+                def deep(st, _off=off, _k=k):
+                    less, lcp, resolved = st
+                    dr = kt64_at(sa_pos + _off)                 # (..., 4)
+                    lk, l64 = _multiword_cmp(
+                        [dr[..., 0], dr[..., 1], dr[..., 2], dr[..., 3]],
+                        [aw[:, 3 + 4 * _k], aw[:, 4 + 4 * _k],
+                         aw[:, 5 + 4 * _k], aw[:, 6 + 4 * _k]], 64)
+                    rem = v - _off
+                    vck = jnp.clip(rem, 0, 64)
+                    diffk = l64 < vck
+                    lck = _off + jnp.minimum(l64, vck)
+                    lk = jnp.where(diffk, lk, False)
+                    return (jnp.where(resolved, less, lk),
+                            jnp.where(resolved, lcp, lck),
+                            resolved | diffk | (rem <= 64))
+
+                st = jax.lax.cond(jnp.any(~st[2]), deep, lambda s: s, st)
+            less, lcp, _ = st
             oob = (sa_idx < 0) | (sa_idx >= n_sa)
             lcp = jnp.where(oob, 0, lcp)
             less = jnp.where(sa_idx < 0, True,
