@@ -233,6 +233,36 @@ def main():
     }
     if degraded:
         out["degraded"] = degraded
+    # scale record: runs at other index sizes stash their result so the
+    # default-size run carries the genome-scale ratio too (the reference's
+    # raison d'être is big indexes; CPU caches flatter it at toy sizes)
+    rec = {"mbp": REF_MBP, "value": out["value"],
+           "vs_baseline": out["vs_baseline"], "baseline": note}
+    try:
+        import subprocess as sp
+
+        rec["rev"] = sp.run(["git", "rev-parse", "--short", "HEAD"],
+                            capture_output=True, text=True,
+                            cwd=os.path.dirname(os.path.abspath(__file__))
+                            ).stdout.strip()
+    except Exception:
+        pass
+    try:
+        with open(os.path.join(CACHE, f"last_{int(REF_MBP)}mbp.json"),
+                  "w") as f:
+            json.dump(rec, f)
+    except OSError:
+        pass
+    for other in (100, 8):
+        if other == int(REF_MBP):
+            continue
+        p = os.path.join(CACHE, f"last_{other}mbp.json")
+        if os.path.exists(p):
+            try:
+                with open(p) as f:
+                    out[f"at_{other}mbp"] = json.load(f)
+            except OSError:
+                pass
     print(json.dumps(out))
 
 

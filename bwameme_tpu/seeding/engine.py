@@ -278,12 +278,16 @@ class DeviceSeedingEngine:
         Vectorized batch prep: per-read python loops cost more than the
         device dispatches they feed at production batch sizes."""
         R = len(codes_list)
-        maxlen = max((len(c) for c in codes_list), default=1)
+        lens = np.fromiter((len(c) for c in codes_list), np.int64, R)
+        maxlen = int(lens.max()) if R and lens.max() > 0 else 1
         mat = np.full((R, maxlen), 3, dtype=np.uint8)
-        lens = np.empty(R, np.int64)
-        for i, c in enumerate(codes_list):
-            mat[i, : len(c)] = np.minimum(c, 4)
-            lens[i] = len(c)
+        if R:
+            # one boolean scatter instead of a per-read python loop: the
+            # row-major mask order IS the concatenation order
+            flat = (np.concatenate(codes_list) if len(codes_list) > 1
+                    else np.asarray(codes_list[0]))
+            mask = np.arange(maxlen)[None, :] < lens[:, None]
+            mat[mask] = np.minimum(flat, 4)
         cols = np.arange(maxlen)
         valid = cols[None, :] < lens[:, None]
         # RC with per-row length: reverse each row within its own length
