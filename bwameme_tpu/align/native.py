@@ -443,68 +443,11 @@ def finalize_se_native(opt, bns, text, recs, regs_per_read, rg_id,
     if lib is None:
         return None
     R = len(recs)
-    G = sum(len(r) for r in regs_per_read)
-    reg_off = np.zeros(R + 1, np.int32)
-    np.cumsum([len(r) for r in regs_per_read], out=reg_off[1:])
-    rb = np.empty(G, np.int64)
-    re_ = np.empty(G, np.int64)
-    qb = np.empty(G, np.int32)
-    qe = np.empty(G, np.int32)
-    rid = np.empty(G, np.int32)
-    score = np.empty(G, np.int32)
-    truesc = np.empty(G, np.int32)
-    sub = np.empty(G, np.int32)
-    csub = np.empty(G, np.int32)
-    w_arr = np.empty(G, np.int32)
-    seedcov = np.empty(G, np.int32)
-    frac_rep = np.empty(G, np.float64)
-    is_alt = np.empty(G, np.uint8)
-    g = 0
-    for regs in regs_per_read:
-        for r in regs:
-            rb[g] = r.rb
-            re_[g] = r.re
-            qb[g] = r.qb
-            qe[g] = r.qe
-            rid[g] = r.rid
-            score[g] = r.score
-            truesc[g] = r.truesc
-            sub[g] = r.sub
-            csub[g] = r.csub
-            w_arr[g] = r.w
-            seedcov[g] = r.seedcov
-            frac_rep[g] = r.frac_rep
-            is_alt[g] = 1 if r.is_alt else 0
-            g += 1
-    qoff = np.zeros(R + 1, np.int64)
-    np.cumsum([len(rec.codes) for rec in recs], out=qoff[1:])
-    qcodes = (np.concatenate([rec.codes for rec in recs]).astype(np.uint8)
-              if R else np.zeros(0, np.uint8))
-    names = b"".join(rec.name.encode() for rec in recs)
-    name_off = np.zeros(R + 1, np.int64)
-    np.cumsum([len(rec.name.encode()) for rec in recs], out=name_off[1:])
-    quals = b"".join((rec.qual or "").encode() for rec in recs)
-    qual_off = np.zeros(R + 1, np.int64)
-    np.cumsum([len((rec.qual or "").encode()) for rec in recs],
-              out=qual_off[1:])
-    comms = b"".join((rec.comment or "").encode() for rec in recs)
-    comm_off = np.zeros(R + 1, np.int64)
-    np.cumsum([len((rec.comment or "").encode()) for rec in recs],
-              out=comm_off[1:])
-
+    f = _flatten_finalize_inputs(recs, regs_per_read)
     ctg_names, ctg_name_off, ctg_off, ctg_is_alt = _fin_blobs(bns)
     text = np.ascontiguousarray(text, dtype=np.uint8)
     mat = np.ascontiguousarray(opt.mat, dtype=np.int8)
-    iopt = np.asarray([
-        opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, opt.a, opt.b, opt.T,
-        opt.w, opt.max_chain_gap, opt.min_seed_len, opt.flag,
-        opt.max_XA_hits, opt.max_XA_hits_alt, opt.mapQ_coef_fac, 0,
-        n_processed,
-    ], np.int64)
-    dopt = np.asarray([
-        opt.mask_level, opt.mask_level_redun, opt.drop_ratio,
-        opt.XA_drop_ratio, opt.mapQ_coef_len,
-    ], np.float64)
+    iopt, dopt = _fin_opts(opt, 0, int(n_processed))
     rg = (rg_id or "").encode()
 
     if not getattr(lib, "_fin_sig", False):
@@ -531,23 +474,164 @@ def finalize_se_native(opt, bns, text, recs, regs_per_read, rg_id,
     for _ in range(2):
         buf = ctypes.create_string_buffer(cap)
         total = lib.finalize_se_c(
-            R, _p(reg_off, ctypes.c_int32), _p(rb, ctypes.c_int64),
-            _p(re_, ctypes.c_int64), _p(qb, ctypes.c_int32),
-            _p(qe, ctypes.c_int32), _p(rid, ctypes.c_int32),
-            _p(score, ctypes.c_int32), _p(truesc, ctypes.c_int32),
-            _p(sub, ctypes.c_int32), _p(csub, ctypes.c_int32),
-            _p(w_arr, ctypes.c_int32), _p(seedcov, ctypes.c_int32),
-            _p(frac_rep, ctypes.c_double), _p(is_alt, ctypes.c_uint8),
-            _p(qcodes, ctypes.c_uint8), _p(qoff, ctypes.c_int64),
-            names, _p(name_off, ctypes.c_int64),
-            quals, _p(qual_off, ctypes.c_int64),
-            comms, _p(comm_off, ctypes.c_int64),
+            R, _p(f["reg_off"], ctypes.c_int32),
+            _p(f["rb"], ctypes.c_int64), _p(f["re"], ctypes.c_int64),
+            _p(f["qb"], ctypes.c_int32), _p(f["qe"], ctypes.c_int32),
+            _p(f["rid"], ctypes.c_int32), _p(f["score"], ctypes.c_int32),
+            _p(f["truesc"], ctypes.c_int32), _p(f["sub"], ctypes.c_int32),
+            _p(f["csub"], ctypes.c_int32), _p(f["w"], ctypes.c_int32),
+            _p(f["seedcov"], ctypes.c_int32),
+            _p(f["frac_rep"], ctypes.c_double),
+            _p(f["is_alt"], ctypes.c_uint8),
+            _p(f["qcodes"], ctypes.c_uint8), _p(f["qoff"], ctypes.c_int64),
+            f["names"], _p(f["name_off"], ctypes.c_int64),
+            f["quals"], _p(f["qual_off"], ctypes.c_int64),
+            f["comms"], _p(f["comm_off"], ctypes.c_int64),
             _p(text, ctypes.c_uint8), int(bns.l_pac),
             len(bns.contigs), _p(ctg_off, ctypes.c_int64),
             ctg_names, _p(ctg_name_off, ctypes.c_int64),
             _p(ctg_is_alt, ctypes.c_uint8),
             _p(mat, ctypes.c_int8), _p(iopt, ctypes.c_int64),
             _p(dopt, ctypes.c_double),
+            rg, len(rg), buf, cap, _p(out_off, ctypes.c_int64),
+        )
+        if total >= 0:
+            raw = buf.raw[:total]
+            return [raw[out_off[i]: out_off[i + 1]].decode()
+                    for i in range(R)]
+        cap = int(-total) + 1
+    return None
+
+def _flatten_finalize_inputs(recs, regs_per_read):
+    """Shared flat-array construction for finalize_{se,pe}_c."""
+    R = len(recs)
+    G = sum(len(r) for r in regs_per_read)
+    f = {}
+    f["reg_off"] = np.zeros(R + 1, np.int32)
+    np.cumsum([len(r) for r in regs_per_read], out=f["reg_off"][1:])
+    for k, dt in (("rb", np.int64), ("re", np.int64), ("qb", np.int32),
+                  ("qe", np.int32), ("rid", np.int32), ("score", np.int32),
+                  ("truesc", np.int32), ("sub", np.int32),
+                  ("csub", np.int32), ("w", np.int32),
+                  ("seedcov", np.int32), ("frac_rep", np.float64),
+                  ("is_alt", np.uint8)):
+        f[k] = np.empty(G, dt)
+    g = 0
+    for regs in regs_per_read:
+        for r in regs:
+            f["rb"][g] = r.rb
+            f["re"][g] = r.re
+            f["qb"][g] = r.qb
+            f["qe"][g] = r.qe
+            f["rid"][g] = r.rid
+            f["score"][g] = r.score
+            f["truesc"][g] = r.truesc
+            f["sub"][g] = r.sub
+            f["csub"][g] = r.csub
+            f["w"][g] = r.w
+            f["seedcov"][g] = r.seedcov
+            f["frac_rep"][g] = r.frac_rep
+            f["is_alt"][g] = 1 if r.is_alt else 0
+            g += 1
+    f["qoff"] = np.zeros(R + 1, np.int64)
+    np.cumsum([len(rec.codes) for rec in recs], out=f["qoff"][1:])
+    f["qcodes"] = (np.concatenate([rec.codes for rec in recs]).astype(
+        np.uint8) if R else np.zeros(0, np.uint8))
+    f["names"] = b"".join(rec.name.encode() for rec in recs)
+    f["name_off"] = np.zeros(R + 1, np.int64)
+    np.cumsum([len(rec.name.encode()) for rec in recs],
+              out=f["name_off"][1:])
+    f["quals"] = b"".join((rec.qual or "").encode() for rec in recs)
+    f["qual_off"] = np.zeros(R + 1, np.int64)
+    np.cumsum([len((rec.qual or "").encode()) for rec in recs],
+              out=f["qual_off"][1:])
+    f["comms"] = b"".join((rec.comment or "").encode() for rec in recs)
+    f["comm_off"] = np.zeros(R + 1, np.int64)
+    np.cumsum([len((rec.comment or "").encode()) for rec in recs],
+              out=f["comm_off"][1:])
+    return f
+
+
+def _fin_opts(opt, extra14, extra15):
+    iopt = np.asarray([
+        opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, opt.a, opt.b, opt.T,
+        opt.w, opt.max_chain_gap, opt.min_seed_len, opt.flag,
+        opt.max_XA_hits, opt.max_XA_hits_alt, opt.mapQ_coef_fac, extra14,
+        extra15,
+    ], np.int64)
+    dopt = np.asarray([
+        opt.mask_level, opt.mask_level_redun, opt.drop_ratio,
+        opt.XA_drop_ratio, opt.mapQ_coef_len,
+    ], np.float64)
+    return iopt, dopt
+
+
+def finalize_pe_native(opt, bns, text, pes, pair_id0, recs, regs_per_read,
+                       rg_id):
+    """Whole-chunk paired-end finalization in C++ (finalize_pe_c):
+    mem_pair + mem_sam_pe for every (already deduped, batch-rescued) pair
+    — byte-identical to the Python contract (align/pairing.py:sam_pe with
+    skip_rescue=True). None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    R = len(recs)
+    assert R % 2 == 0
+    f = _flatten_finalize_inputs(recs, regs_per_read)
+    ctg_names, ctg_name_off, ctg_off, ctg_is_alt = _fin_blobs(bns)
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    mat = np.ascontiguousarray(opt.mat, dtype=np.int8)
+    iopt, dopt = _fin_opts(opt, int(opt.pen_unpaired), int(pair_id0))
+    pe_stats = np.zeros((4, 5), np.float64)
+    for d in range(4):
+        pe_stats[d] = (pes[d].low, pes[d].high, pes[d].failed, pes[d].avg,
+                       pes[d].std)
+    rg = (rg_id or "").encode()
+
+    if not getattr(lib, "_finpe_sig", False):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.finalize_pe_c.argtypes = [
+            ctypes.c_int32, i32p, i64p, i64p, i32p, i32p, i32p, i32p, i32p,
+            i32p, i32p, i32p, i32p, f64p, u8p, u8p, i64p,
+            ctypes.c_char_p, i64p, ctypes.c_char_p, i64p, ctypes.c_char_p,
+            i64p, u8p, ctypes.c_int64, ctypes.c_int32, i64p,
+            ctypes.c_char_p, i64p, u8p, i8p, i64p, f64p, f64p,
+            ctypes.c_char_p, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int64, i64p,
+        ]
+        lib.finalize_pe_c.restype = ctypes.c_int64
+        lib._finpe_sig = True
+
+    cap = int(sum((len(rec.codes) * 2 + 300) * (len(regs) + 1)
+                  for rec, regs in zip(recs, regs_per_read)) + 4096)
+    out_off = np.zeros(R + 1, np.int64)
+    for _ in range(2):
+        buf = ctypes.create_string_buffer(cap)
+        total = lib.finalize_pe_c(
+            R // 2, _p(f["reg_off"], ctypes.c_int32),
+            _p(f["rb"], ctypes.c_int64), _p(f["re"], ctypes.c_int64),
+            _p(f["qb"], ctypes.c_int32), _p(f["qe"], ctypes.c_int32),
+            _p(f["rid"], ctypes.c_int32), _p(f["score"], ctypes.c_int32),
+            _p(f["truesc"], ctypes.c_int32), _p(f["sub"], ctypes.c_int32),
+            _p(f["csub"], ctypes.c_int32), _p(f["w"], ctypes.c_int32),
+            _p(f["seedcov"], ctypes.c_int32),
+            _p(f["frac_rep"], ctypes.c_double),
+            _p(f["is_alt"], ctypes.c_uint8),
+            _p(f["qcodes"], ctypes.c_uint8), _p(f["qoff"], ctypes.c_int64),
+            f["names"], _p(f["name_off"], ctypes.c_int64),
+            f["quals"], _p(f["qual_off"], ctypes.c_int64),
+            f["comms"], _p(f["comm_off"], ctypes.c_int64),
+            _p(text, ctypes.c_uint8), int(bns.l_pac),
+            len(bns.contigs), _p(ctg_off, ctypes.c_int64),
+            ctg_names, _p(ctg_name_off, ctypes.c_int64),
+            _p(ctg_is_alt, ctypes.c_uint8),
+            _p(mat, ctypes.c_int8), _p(iopt, ctypes.c_int64),
+            _p(dopt, ctypes.c_double),
+            _p(pe_stats, ctypes.c_double),
             rg, len(rg), buf, cap, _p(out_off, ctypes.c_int64),
         )
         if total >= 0:

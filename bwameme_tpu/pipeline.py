@@ -365,15 +365,30 @@ class Aligner:
                               for i in range(0, len(reads), 2)]
                 pairing.sam_pe_batch_rescue(opt, bns, text, pes, recs_pairs,
                                             regs_pairs)
-        out = []
+        out = None
         with tstage("pe.finalize"):
-            for i in range(0, len(reads), 2):
-                pair_id = (self.n_processed >> 1) + (i >> 1)
-                s0, s1 = pairing.sam_pe(
-                    opt, bns, text, pes, pair_id,
-                    [recs[i], recs[i + 1]], [deduped[i], deduped[i + 1]],
-                    rg_id=self.rg_id, skip_rescue=self.batched_rescue,
-                )
-                out.extend([s0, s1])
+            if self.batched_rescue and getattr(self, "_use_native_finalize",
+                                               True):
+                # mem_pair + mem_sam_pe for the whole chunk in ONE C++ call
+                # (native.finalize_pe_c; byte-identical to the Python
+                # contract below — tests/test_native_finalize.py)
+                from bwameme_tpu.align import native
+
+                out = native.finalize_pe_native(
+                    opt, bns, text, pes, self.n_processed >> 1, recs,
+                    deduped, self.rg_id)
+                if out is None:
+                    self._use_native_finalize = False
+            if out is None:
+                out = []
+                for i in range(0, len(reads), 2):
+                    pair_id = (self.n_processed >> 1) + (i >> 1)
+                    s0, s1 = pairing.sam_pe(
+                        opt, bns, text, pes, pair_id,
+                        [recs[i], recs[i + 1]],
+                        [deduped[i], deduped[i + 1]],
+                        rg_id=self.rg_id, skip_rescue=self.batched_rescue,
+                    )
+                    out.extend([s0, s1])
         self.n_processed += len(reads)
         return out

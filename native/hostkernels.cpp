@@ -1940,3 +1940,589 @@ int64_t finalize_se_c(
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// Native paired-end finalization: mem_pair + mem_sam_pe (batched-rescue
+// path) + the mate-aware mem_aln2sam — port of align/pairing.py (reference
+// src/bwamem_pair.cpp:372-658) sharing the fin:: machinery above. The
+// Python implementation remains the documented contract
+// (tests/test_native_finalize.py::test_native_pe_matches_python).
+
+namespace fin {
+
+struct PeStat {
+  int64_t low = 0, high = 0, failed = 0;
+  double avg = 0.0, std_ = 0.0;
+};
+
+inline int64_t raw_mapq(int64_t diff, int64_t a) {
+  return (int64_t)(6.02 * (double)diff / (double)a + 0.499);
+}
+
+// mem_infer_dir (pairing.py:50).
+inline void infer_dir(int64_t l_pac, int64_t b1, int64_t b2, int32_t* d,
+                      int64_t* dist) {
+  bool r1 = b1 >= l_pac, r2 = b2 >= l_pac;
+  int64_t p2 = (r1 == r2) ? b2 : (l_pac << 1) - 1 - b2;
+  *dist = p2 > b1 ? p2 - b1 : b1 - p2;
+  *d = ((r1 == r2) ? 0 : 1) ^ ((p2 > b1) ? 0 : 3);
+}
+
+// mem_pair (pairing.py:298). Returns score o (0 = no pair), sub, n_sub, z.
+static void mem_pair(const Opts& o, const Ref& ref, const PeStat* pes,
+                     std::vector<Reg>* a, int64_t pair_id,
+                     const int64_t* n_pri, int64_t* out_o, int64_t* out_sub,
+                     int64_t* out_nsub, int64_t* z) {
+  z[0] = z[1] = -1;
+  *out_o = *out_sub = *out_nsub = 0;
+  std::vector<std::pair<uint64_t, uint64_t>> v;
+  for (int r = 0; r < 2; ++r) {
+    for (int64_t i = 0; i < n_pri[r]; ++i) {
+      const Reg& e = a[r][i];
+      int64_t x_pos = e.rb < ref.l_pac ? e.rb : (ref.l_pac << 1) - 1 - e.rb;
+      uint64_t key_x = ((uint64_t)e.rid << 32) |
+                       (uint64_t)(x_pos - ref.ctg_off[e.rid]);
+      uint64_t key_y = ((uint64_t)(uint32_t)e.score << 32) |
+                       ((uint64_t)i << 2) |
+                       ((uint64_t)(e.rb >= ref.l_pac) << 1) | (uint64_t)r;
+      v.emplace_back(key_x, key_y);
+    }
+  }
+  std::sort(v.begin(), v.end());
+  int64_t y[4] = {-1, -1, -1, -1};
+  std::vector<std::pair<uint64_t, uint64_t>> u;
+  for (size_t i = 0; i < v.size(); ++i) {
+    for (int r = 0; r < 2; ++r) {
+      int dirn = (r << 1) | ((v[i].second >> 1) & 1);
+      if (pes[dirn].failed) continue;
+      int which = (r << 1) | ((v[i].second & 1) ^ 1);
+      if (y[which] < 0) continue;
+      for (int64_t k = y[which]; k >= 0; --k) {
+        if ((int)(v[k].second & 3) != which) continue;
+        int64_t dist = (int64_t)(v[i].first - v[k].first);
+        if (dist > pes[dirn].high) break;
+        if (dist < pes[dirn].low) continue;
+        double ns = ((double)dist - pes[dirn].avg) / pes[dirn].std_;
+        int64_t q = (int64_t)(
+            (double)((v[i].second >> 32) + (v[k].second >> 32)) +
+            0.721 * std::log(2.0 * std::erfc(std::fabs(ns) *
+                                             (1.0 / std::sqrt(2.0)))) *
+                (double)o.a + 0.499);
+        if (q < 0) q = 0;
+        uint64_t yv = ((uint64_t)k << 32) | (uint64_t)i;
+        uint64_t h = hash_64(yv ^ ((uint64_t)pair_id << 8)) & 0xFFFFFFFFull;
+        u.emplace_back(((uint64_t)q << 32) | h, yv);
+      }
+    }
+    y[v[i].second & 3] = (int64_t)i;
+  }
+  if (u.empty()) return;
+  int64_t tmp = std::max({o.a + o.b, o.o_del + o.e_del, o.o_ins + o.e_ins});
+  std::sort(u.begin(), u.end());
+  uint64_t i_ = u.back().second >> 32;
+  uint64_t k_ = u.back().second & 0xFFFFFFFFull;
+  z[v[i_].second & 1] = (int64_t)((v[i_].second & 0xFFFFFFFFull) >> 2);
+  z[v[k_].second & 1] = (int64_t)((v[k_].second & 0xFFFFFFFFull) >> 2);
+  *out_o = (int64_t)(u.back().first >> 32);
+  int64_t sub = u.size() > 1 ? (int64_t)(u[u.size() - 2].first >> 32) : 0;
+  *out_sub = sub;
+  int64_t nsub = 0;
+  for (size_t e = 0; e + 1 < u.size(); ++e)
+    if (sub - (int64_t)(u[e].first >> 32) <= tmp) ++nsub;
+  *out_nsub = nsub;
+}
+
+struct ReadIn {
+  const char* name;
+  int64_t name_len;
+  const uint8_t* codes;
+  int64_t l_seq;
+  const char* qual;
+  int64_t qual_len;
+  const char* comment;
+  int64_t comment_len;
+};
+
+// mem_aln2sam with a mate (finalize.py:426) — generalizes aln2sam_se.
+static void aln2sam(const Opts& o, const Ref& ref, const ReadIn& rd,
+                    const char* rg_id, int32_t rg_len, size_t n,
+                    const std::vector<Aln>& alns, size_t which,
+                    const Aln* m_in, std::string& out) {
+  Aln p = alns[which];
+  Aln m_local;
+  const Aln* m = nullptr;
+  if (m_in) {
+    m_local = *m_in;
+    m = &m_local;
+  }
+  if (m) p.flag |= 0x1;
+  if (p.rid < 0) p.flag |= 0x4;
+  if (m && m->rid < 0) p.flag |= 0x8;
+  if (p.rid < 0 && m && m->rid >= 0) {
+    p.rid = m->rid;
+    p.pos = m->pos;
+    p.is_rev = m->is_rev;
+    p.n_cigar = 0;
+  }
+  if (m && m->rid < 0 && p.rid >= 0) {
+    m_local.rid = p.rid;
+    m_local.pos = p.pos;
+    m_local.is_rev = p.is_rev;
+    m_local.n_cigar = 0;
+  }
+  if (p.is_rev) p.flag |= 0x10;
+  if (m && m->is_rev) p.flag |= 0x20;
+  char tmp[48];
+  out.append(rd.name, rd.name_len);
+  out.push_back('\t');
+  out.append(tmp, snprintf(tmp, sizeof tmp, "%d",
+                           (p.flag & 0xFFFF) | ((p.flag & 0x10000) ? 0x100
+                                                                  : 0)));
+  out.push_back('\t');
+  if (p.rid >= 0) {
+    out.append(ref.ctg_names + ref.ctg_name_off[p.rid],
+               ref.ctg_name_off[p.rid + 1] - ref.ctg_name_off[p.rid]);
+    out.push_back('\t');
+    out.append(tmp, snprintf(tmp, sizeof tmp, "%lld",
+                             (long long)(p.pos + 1)));
+    out.push_back('\t');
+    out.append(tmp, snprintf(tmp, sizeof tmp, "%d", p.mapq));
+    out.push_back('\t');
+    if (p.n_cigar)
+      cigar_str(o, p, (int32_t)which, out);
+    else
+      out.push_back('*');
+  } else {
+    out.append("*\t0\t0\t*");
+  }
+  out.push_back('\t');
+  if (m && m->rid >= 0) {
+    if (p.rid == m->rid)
+      out.push_back('=');
+    else
+      out.append(ref.ctg_names + ref.ctg_name_off[m->rid],
+                 ref.ctg_name_off[m->rid + 1] - ref.ctg_name_off[m->rid]);
+    out.append(tmp, snprintf(tmp, sizeof tmp, "\t%lld\t",
+                             (long long)(m->pos + 1)));
+    if (p.rid == m->rid && p.n_cigar && m->n_cigar) {
+      int64_t p0 = p.pos + (p.is_rev ? get_rlen(p.cigar) - 1 : 0);
+      int64_t p1 = m->pos + (m->is_rev ? get_rlen(m->cigar) - 1 : 0);
+      int64_t sgn = p0 > p1 ? 1 : (p0 < p1 ? -1 : 0);
+      out.append(tmp, snprintf(tmp, sizeof tmp, "%lld",
+                               (long long)(-(p0 - p1 + sgn))));
+    } else {
+      out.push_back('0');
+    }
+  } else {
+    out.append("*\t0\t0");
+  }
+  out.push_back('\t');
+
+  static const char kFwd[] = "ACGTN";
+  static const char kRev[] = "TGCAN";
+  if (p.flag & 0x100) {
+    out.append("*\t*");
+  } else {
+    int64_t qb = 0, qe = rd.l_seq;
+    if (p.n_cigar && which && !(o.flag & 0x200) && !p.is_alt) {
+      int32_t op0 = p.cigar.front() & 0xF;
+      int32_t opn = p.cigar.back() & 0xF;
+      if (op0 == 3 || op0 == 4) {
+        if (p.is_rev)
+          qe -= p.cigar.front() >> 4;
+        else
+          qb += p.cigar.front() >> 4;
+      }
+      if (opn == 3 || opn == 4) {
+        if (p.is_rev)
+          qb += p.cigar.back() >> 4;
+        else
+          qe -= p.cigar.back() >> 4;
+      }
+    }
+    if (qe > qb) {
+      if (!p.is_rev) {
+        for (int64_t i = qb; i < qe; ++i)
+          out.push_back(kFwd[rd.codes[i] > 4 ? 4 : rd.codes[i]]);
+        out.push_back('\t');
+        if (rd.qual_len)
+          out.append(rd.qual + qb, qe - qb);
+        else
+          out.push_back('*');
+      } else {
+        for (int64_t i = qe - 1; i >= qb; --i)
+          out.push_back(kRev[rd.codes[i] > 4 ? 4 : rd.codes[i]]);
+        out.push_back('\t');
+        if (rd.qual_len) {
+          for (int64_t i = qe - 1; i >= qb; --i) out.push_back(rd.qual[i]);
+        } else {
+          out.push_back('*');
+        }
+      }
+    } else {
+      out.append("*\t*");
+    }
+  }
+
+  if (p.n_cigar) {
+    out.append(tmp, snprintf(tmp, sizeof tmp, "\tNM:i:%d", p.NM));
+    out.append("\tMD:Z:");
+    out.append(p.md);
+  }
+  if (m && m->n_cigar) {
+    out.append("\tMC:Z:");
+    cigar_str(o, *m, (int32_t)which, out);
+  }
+  if (p.score >= 0)
+    out.append(tmp, snprintf(tmp, sizeof tmp, "\tAS:i:%d", p.score));
+  if (p.sub >= 0)
+    out.append(tmp, snprintf(tmp, sizeof tmp, "\tXS:i:%d", p.sub));
+  if (rg_len) {
+    out.append("\tRG:Z:");
+    out.append(rg_id, rg_len);
+  }
+  if (!(p.flag & 0x100)) {
+    bool any = false;
+    for (size_t i = 0; i < n; ++i)
+      if (i != which && !(alns[i].flag & 0x100)) { any = true; break; }
+    if (any) {
+      out.append("\tSA:Z:");
+      for (size_t i = 0; i < n; ++i) {
+        const Aln& r = alns[i];
+        if (i == which || (r.flag & 0x100)) continue;
+        out.append(ref.ctg_names + ref.ctg_name_off[r.rid],
+                   ref.ctg_name_off[r.rid + 1] - ref.ctg_name_off[r.rid]);
+        out.append(tmp, snprintf(tmp, sizeof tmp, ",%lld,",
+                                 (long long)(r.pos + 1)));
+        out.push_back(r.is_rev ? '-' : '+');
+        out.push_back(',');
+        for (uint32_t c : r.cigar) {
+          out.append(tmp, snprintf(tmp, sizeof tmp, "%u", c >> 4));
+          out.push_back(kOpChr[c & 0xF]);
+        }
+        out.append(tmp, snprintf(tmp, sizeof tmp, ",%d,%d;", r.mapq, r.NM));
+      }
+    }
+    if (p.alt_sc > 0)
+      out.append(tmp, snprintf(tmp, sizeof tmp, "\tpa:f:%.3f",
+                               (double)p.score / (double)p.alt_sc));
+  }
+  if (p.has_XA) {
+    out.append("\tXA:Z:");
+    out.append(p.XA);
+  }
+  if (rd.comment_len) {
+    out.push_back('\t');
+    out.append(rd.comment, rd.comment_len);
+  }
+}
+
+// mem_reg2sam with a mate + extra_flag (finalize.py:527).
+static void reg2sam(const Opts& o, const Ref& ref, const ReadIn& rd,
+                    const char* rg_id, int32_t rg_len, std::vector<Reg>& regs,
+                    int32_t extra_flag, const Aln* m, std::string& out) {
+  int32_t l_query = (int32_t)rd.l_seq;
+  std::vector<std::string> XA;
+  std::vector<bool> has_XA;
+  bool use_xa = !(o.flag & 0x8);
+  if (use_xa) gen_alt(o, ref, regs, l_query, rd.codes, XA, has_XA);
+  std::vector<Aln> aa;
+  for (size_t k = 0; k < regs.size(); ++k) {
+    Reg& p = regs[k];
+    if (p.score < o.T) continue;
+    if (p.secondary >= 0 && (p.is_alt || !(o.flag & 0x8))) continue;
+    if (p.secondary >= 0 && p.secondary < kIntMax &&
+        (double)p.score < (double)regs[p.secondary].score * o.drop_ratio)
+      continue;
+    Aln q = reg2aln(o, ref, l_query, rd.codes, &p);
+    if (use_xa && has_XA[k]) {
+      q.XA = XA[k];
+      q.has_XA = true;
+    }
+    q.flag |= extra_flag;
+    if (p.secondary >= 0) q.sub = -1;
+    if (!aa.empty() && p.secondary < 0)
+      q.flag |= (o.flag & 0x10) ? 0x10000 : 0x800;
+    if (!(o.flag & 0x1000) && !aa.empty() && !p.is_alt &&
+        q.mapq > aa[0].mapq)
+      q.mapq = aa[0].mapq;
+    aa.push_back(std::move(q));
+  }
+  if (aa.empty()) {
+    Aln t = reg2aln(o, ref, l_query, rd.codes, nullptr);
+    t.flag |= extra_flag;
+    std::vector<Aln> one;
+    one.push_back(std::move(t));
+    aln2sam(o, ref, rd, rg_id, rg_len, 1, one, 0, m, out);
+    out.push_back('\n');
+    return;
+  }
+  for (size_t k = 0; k < aa.size(); ++k) {
+    aln2sam(o, ref, rd, rg_id, rg_len, aa.size(), aa, k, m, out);
+    out.push_back('\n');
+  }
+}
+
+// mem_sam_pe, batched-rescue path (pairing.py:353 with skip_rescue=True).
+static void sam_pe(const Opts& o, const Ref& ref, const PeStat* pes,
+                   int64_t pair_id, const ReadIn* rd, const char* rg_id,
+                   int32_t rg_len, std::vector<Reg>* a, std::string& out,
+                   int64_t* off0) {
+  int64_t n_pri[2] = {0, 0};
+  for (int i = 0; i < 2; ++i) {
+    mark_primary(o, a[i], (pair_id << 1) | i);
+    for (auto& r : a[i])
+      if (!r.is_alt) ++n_pri[i];
+    if (o.flag & 0x800) reorder_primary5(o, a[i]);
+  }
+  int32_t extra_flag = 1;
+  if (!(o.flag & 0x4 /*MEM_F_NOPAIRING*/) && n_pri[0] && n_pri[1]) {
+    int64_t o_, subo, n_sub, z[2];
+    mem_pair(o, ref, pes, a, pair_id, n_pri, &o_, &subo, &n_sub, z);
+    if (o_ > 0) {
+      bool is_multi[2] = {false, false};
+      for (int i = 0; i < 2; ++i)
+        for (int64_t j = 1; j < n_pri[i]; ++j)
+          if (a[i][j].secondary < 0 && a[i][j].score >= o.T) {
+            is_multi[i] = true;
+            break;
+          }
+      if (!is_multi[0] && !is_multi[1]) {
+        int64_t score_un = a[0][0].score + a[1][0].score - /*pen_unpaired*/
+                           o.extra_flag;  // (extra_flag slot reused — see
+                                          // caller: iopt[14] = pen_unpaired)
+        if (subo < score_un) subo = score_un;
+        int64_t q_pe = raw_mapq(o_ - subo, o.a);
+        if (n_sub > 0)
+          q_pe -= (int64_t)(4.343 * std::log((double)n_sub + 1.0) + 0.499);
+        if (q_pe < 0) q_pe = 0;
+        if (q_pe > 60) q_pe = 60;
+        q_pe = (int64_t)((double)q_pe *
+                             (1.0 - 0.5 * (a[0][0].frac_rep +
+                                           a[1][0].frac_rep)) + 0.499);
+        int64_t q_se[2] = {0, 0};
+        if (o_ > score_un) {
+          Reg* c[2] = {&a[0][z[0]], &a[1][z[1]]};
+          for (int i = 0; i < 2; ++i) {
+            if (c[i]->secondary >= 0) {
+              c[i]->sub = a[i][c[i]->secondary].score;
+              c[i]->secondary = -2;
+            }
+            q_se[i] = approx_mapq(o, *c[i]);
+          }
+          for (int i = 0; i < 2; ++i) {
+            q_se[i] = q_se[i] > q_pe ? q_se[i]
+                                     : std::min(q_pe, q_se[i] + 40);
+            q_se[i] = std::min(
+                q_se[i], raw_mapq(c[i]->score - c[i]->csub, o.a));
+          }
+          extra_flag |= 2;
+        } else {
+          z[0] = z[1] = 0;
+          q_se[0] = approx_mapq(o, a[0][0]);
+          q_se[1] = approx_mapq(o, a[1][0]);
+        }
+        for (int i = 0; i < 2; ++i) {
+          int32_t k = a[i][z[i]].secondary_all;
+          if (0 <= k && k < n_pri[i]) {
+            for (size_t j = 0; j < a[i].size(); ++j)
+              if (a[i][j].secondary_all == k || (int32_t)j == k)
+                a[i][j].secondary_all = (int32_t)z[i];
+            a[i][z[i]].secondary_all = -1;
+          }
+        }
+        std::vector<std::string> XA[2];
+        std::vector<bool> has_XA[2];
+        if (!(o.flag & 0x8))
+          for (int i = 0; i < 2; ++i)
+            gen_alt(o, ref, a[i], (int32_t)rd[i].l_seq, rd[i].codes, XA[i],
+                    has_XA[i]);
+        Aln h[2];
+        std::vector<Aln> aa[2];
+        for (int i = 0; i < 2; ++i) {
+          h[i] = reg2aln(o, ref, (int32_t)rd[i].l_seq, rd[i].codes,
+                         &a[i][z[i]]);
+          h[i].mapq = (int32_t)q_se[i];
+          h[i].flag |= (0x40 << i) | extra_flag;
+          if (!XA[i].empty() && has_XA[i][z[i]]) {
+            h[i].XA = XA[i][z[i]];
+            h[i].has_XA = true;
+          }
+          aa[i].push_back(h[i]);
+          if (n_pri[i] < (int64_t)a[i].size()) {
+            Reg& p = a[i][n_pri[i]];
+            if (p.score >= o.T && p.secondary < 0 && p.is_alt) {
+              Aln g = reg2aln(o, ref, (int32_t)rd[i].l_seq, rd[i].codes,
+                              &p);
+              g.flag |= 0x800 | (0x40 << i) | extra_flag;
+              if (!XA[i].empty() && has_XA[i][n_pri[i]]) {
+                g.XA = XA[i][n_pri[i]];
+                g.has_XA = true;
+              }
+              aa[i].push_back(std::move(g));
+            }
+          }
+        }
+        for (size_t k = 0; k < aa[0].size(); ++k) {
+          aln2sam(o, ref, rd[0], rg_id, rg_len, aa[0].size(), aa[0], k,
+                  &h[1], out);
+          out.push_back('\n');
+        }
+        *off0 = (int64_t)out.size();
+        for (size_t k = 0; k < aa[1].size(); ++k) {
+          aln2sam(o, ref, rd[1], rg_id, rg_len, aa[1].size(), aa[1], k,
+                  &h[0], out);
+          out.push_back('\n');
+        }
+        return;
+      }
+    }
+  }
+  // no_pairing path
+  Aln h[2];
+  for (int i = 0; i < 2; ++i) {
+    int64_t which = -1;
+    if (!a[i].empty()) {
+      if (a[i][0].score >= o.T)
+        which = 0;
+      else if (n_pri[i] < (int64_t)a[i].size() &&
+               a[i][n_pri[i]].score >= o.T)
+        which = n_pri[i];
+    }
+    h[i] = reg2aln(o, ref, (int32_t)rd[i].l_seq, rd[i].codes,
+                   which >= 0 ? &a[i][which] : nullptr);
+  }
+  if (!(o.flag & 0x4) && h[0].rid == h[1].rid && h[0].rid >= 0 &&
+      !a[0].empty() && !a[1].empty()) {
+    int32_t d;
+    int64_t dist;
+    infer_dir(ref.l_pac, a[0][0].rb, a[1][0].rb, &d, &dist);
+    if (!pes[d].failed && pes[d].low <= dist && dist <= pes[d].high)
+      extra_flag |= 2;
+  }
+  reg2sam(o, ref, rd[0], rg_id, rg_len, a[0], 0x41 | extra_flag, &h[1],
+          out);
+  *off0 = (int64_t)out.size();
+  reg2sam(o, ref, rd[1], rg_id, rg_len, a[1], 0x81 | extra_flag, &h[0],
+          out);
+}
+
+}  // namespace fin
+
+extern "C" {
+
+// Whole-chunk paired-end finalization (pairs already deduped and
+// batch-rescued). iopt[14] carries pen_unpaired; iopt[15] the pair_id base.
+// pe_stats: 4 orientations x (low, high, failed, avg, std) doubles.
+// out_off has 2R+1 entries (per-READ SAM block offsets). Returns total
+// bytes or -(needed).
+int64_t finalize_pe_c(
+    int32_t R_pairs, const int32_t* reg_off, const int64_t* rb,
+    const int64_t* re, const int32_t* qb, const int32_t* qe,
+    const int32_t* rid, const int32_t* score, const int32_t* truesc,
+    const int32_t* sub, const int32_t* csub, const int32_t* w_arr,
+    const int32_t* seedcov, const double* frac_rep,
+    const uint8_t* reg_is_alt, const uint8_t* qcodes, const int64_t* qoff,
+    const char* names, const int64_t* name_off, const char* quals,
+    const int64_t* qual_off, const char* comments, const int64_t* comm_off,
+    const uint8_t* text, int64_t l_pac, int32_t n_ctg,
+    const int64_t* ctg_off, const char* ctg_names,
+    const int64_t* ctg_name_off, const uint8_t* ctg_is_alt,
+    const int8_t* mat, const int64_t* iopt, const double* dopt,
+    const double* pe_stats, const char* rg_id, int32_t rg_len,
+    char* out_buf, int64_t out_cap, int64_t* out_off) {
+  fin::Opts o;
+  o.mat = mat;
+  o.o_del = iopt[0];
+  o.e_del = iopt[1];
+  o.o_ins = iopt[2];
+  o.e_ins = iopt[3];
+  o.a = iopt[4];
+  o.b = iopt[5];
+  o.T = iopt[6];
+  o.w = iopt[7];
+  o.max_chain_gap = iopt[8];
+  o.min_seed_len = iopt[9];
+  o.flag = iopt[10];
+  o.max_XA_hits = iopt[11];
+  o.max_XA_hits_alt = iopt[12];
+  o.mapQ_coef_fac = iopt[13];
+  o.extra_flag = iopt[14];  // pen_unpaired (see fin::sam_pe)
+  int64_t pair_id0 = iopt[15];
+  o.mask_level = dopt[0];
+  o.mask_level_redun = dopt[1];
+  o.drop_ratio = dopt[2];
+  o.XA_drop_ratio = dopt[3];
+  o.mapQ_coef_len = dopt[4];
+
+  fin::Ref ref;
+  ref.text = text;
+  ref.l_pac = l_pac;
+  ref.n_ctg = n_ctg;
+  ref.ctg_off = ctg_off;
+  ref.ctg_names = ctg_names;
+  ref.ctg_name_off = ctg_name_off;
+  ref.ctg_is_alt = ctg_is_alt;
+
+  fin::PeStat pes[4];
+  for (int d = 0; d < 4; ++d) {
+    pes[d].low = (int64_t)pe_stats[d * 5 + 0];
+    pes[d].high = (int64_t)pe_stats[d * 5 + 1];
+    pes[d].failed = (int64_t)pe_stats[d * 5 + 2];
+    pes[d].avg = pe_stats[d * 5 + 3];
+    pes[d].std_ = pe_stats[d * 5 + 4];
+  }
+
+  std::string out;
+  out.reserve((size_t)(out_cap > 0 ? out_cap : 1024));
+  std::vector<int64_t> offs(2 * R_pairs + 1, 0);
+  for (int32_t pi = 0; pi < R_pairs; ++pi) {
+    std::vector<fin::Reg> a[2];
+    fin::ReadIn rd[2];
+    for (int i = 0; i < 2; ++i) {
+      int32_t li = 2 * pi + i;
+      for (int32_t g = reg_off[li]; g < reg_off[li + 1]; ++g) {
+        fin::Reg r;
+        r.rb = rb[g];
+        r.re = re[g];
+        r.qb = qb[g];
+        r.qe = qe[g];
+        r.rid = rid[g];
+        r.score = score[g];
+        r.truesc = truesc[g];
+        r.sub = sub[g];
+        r.csub = csub[g];
+        r.sub_n = 0;
+        r.alt_sc = 0;
+        r.w = w_arr[g];
+        r.seedcov = seedcov[g];
+        r.secondary = -1;
+        r.secondary_all = -1;
+        r.n_comp = 1;
+        r.hash = 0;
+        r.frac_rep = frac_rep[g];
+        r.is_alt = reg_is_alt[g] != 0;
+        a[i].push_back(r);
+      }
+      rd[i].name = names + name_off[li];
+      rd[i].name_len = name_off[li + 1] - name_off[li];
+      rd[i].codes = qcodes + qoff[li];
+      rd[i].l_seq = qoff[li + 1] - qoff[li];
+      rd[i].qual = quals + qual_off[li];
+      rd[i].qual_len = qual_off[li + 1] - qual_off[li];
+      rd[i].comment = comments + comm_off[li];
+      rd[i].comment_len = comm_off[li + 1] - comm_off[li];
+    }
+    int64_t off0 = 0;
+    fin::sam_pe(o, ref, pes, pair_id0 + pi, rd, rg_id, rg_len, a, out,
+                &off0);
+    offs[2 * pi + 1] = off0;
+    offs[2 * pi + 2] = (int64_t)out.size();
+  }
+  for (int32_t i = 0; i <= 2 * R_pairs; ++i) out_off[i] = offs[i];
+  if ((int64_t)out.size() > out_cap) return -(int64_t)out.size();
+  std::memcpy(out_buf, out.data(), out.size());
+  return (int64_t)out.size();
+}
+
+}  // extern "C"

@@ -109,3 +109,40 @@ def test_native_finalize_matches_python(world, ov):
     al._use_native_finalize = False
     want = al._finalize_se(recs, regs)
     assert got == want
+
+
+def test_native_pe_matches_python(world):
+    """align_pairs with the native mem_pair+mem_sam_pe vs the Python
+    contract — identical SAM (covers pairing mapq, TLEN/MC, proper-pair
+    flags, XA on pairs, unmapped mates, no-pairing fallback)."""
+    idx, _ = world
+    rng = np.random.default_rng(77)
+    chars = "ACGT"
+    pairs = []
+    for i in range(40):
+        a = int(rng.integers(0, idx.l_pac - 600))
+        ins = int(rng.integers(250, 450))
+        c1 = idx.text[a: a + 100].copy()
+        c2 = (3 - idx.text[a + ins - 100: a + ins][::-1]).astype(np.uint8)
+        p = int(rng.integers(0, 100))
+        c1[p] = (c1[p] + 1) % 4
+        if i % 9 == 0:  # a garbage mate (unmapped/no-pairing paths)
+            c2 = rng.integers(0, 4, 100).astype(np.uint8)
+        for j, c in enumerate((c1, c2)):
+            pairs.append(Read(name=f"p{i:03d}",
+                              comment="BC:Z:TT" if i % 11 == 0 else None,
+                              seq="".join(chars[x] for x in c),
+                              qual="".join(chr(33 + int(q)) for q in
+                                           rng.integers(2, 40, 100))))
+    from bwameme_tpu.seeding.engine import DeviceSeedingEngine
+
+    opt = MemOptions()
+    opt.flag |= 2  # MEM_F_PE
+    sams = []
+    for use_native in (True, False):
+        eng = DeviceSeedingEngine(idx, opt, lanes=128)
+        al = Aligner(idx, opt, seeding_engine=eng, rg_id="rgP")
+        assert al.batched_rescue
+        al._use_native_finalize = use_native
+        sams.append(al.align_pairs(pairs))
+    assert sams[0] == sams[1]
