@@ -32,7 +32,10 @@ os.environ.setdefault("BWAMEME_STRICT", "1")
 
 import numpy as np
 
-REF_MBP = float(os.environ.get("BWAMEME_BENCH_MBP", "8"))
+# default 100 Mbp: the genome-relevant scale (CPU caches flatter the
+# reference's FM-index at toy sizes); the mmap index layout + native row
+# assembly keep the whole run under ~5 min with a warm .bench_cache
+REF_MBP = float(os.environ.get("BWAMEME_BENCH_MBP", "100"))
 # "prmi" (learned index, the -7 path) or "kmer" (the ERT backend's
 # enumerated root) — for the backend tradeoff measurement (VERDICT #8)
 ROOT = os.environ.get("BWAMEME_BENCH_ROOT", "prmi")
@@ -49,7 +52,8 @@ def get_index():
     from bwameme_tpu.index.build import build_index, load_index, save_index
 
     prefix = os.path.join(CACHE, f"bench_{int(REF_MBP)}mbp")
-    if os.path.exists(prefix + ".meme.npz"):
+    if (os.path.isdir(prefix + ".meme")
+            or os.path.exists(prefix + ".meme.npz")):
         return load_index(prefix)
     os.makedirs(CACHE, exist_ok=True)
     rng = np.random.default_rng(2024)

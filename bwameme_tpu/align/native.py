@@ -640,3 +640,30 @@ def finalize_pe_native(opt, bns, text, pes, pair_id0, recs, regs_per_read,
                     for i in range(R)]
         cap = int(-total) + 1
     return None
+
+
+def build_mode4_rows_native(sa, key_hi, key_lo, isa):
+    """Fused MODE-4 row assembly (rkm, k64) in one C++ pass; None when the
+    native library is unavailable (caller uses the numpy fallback)."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_m4_sig", False):
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.build_mode4_rows_c.argtypes = [
+            ctypes.c_int64, i64p, u32p, u32p, i64p, u32p, u32p]
+        lib.build_mode4_rows_c.restype = None
+        lib._m4_sig = True
+    n = len(sa)
+    sa = np.ascontiguousarray(sa, np.int64)
+    isa = np.ascontiguousarray(isa, np.int64)
+    key_hi = np.ascontiguousarray(key_hi, np.uint32)
+    key_lo = np.ascontiguousarray(key_lo, np.uint32)
+    rkm = np.empty((n, 4), np.uint32)
+    k64 = np.empty((n, 4), np.uint32)
+    lib.build_mode4_rows_c(
+        n, _p(sa, ctypes.c_int64), _p(key_hi, ctypes.c_uint32),
+        _p(key_lo, ctypes.c_uint32), _p(isa, ctypes.c_int64),
+        _p(rkm, ctypes.c_uint32), _p(k64, ctypes.c_uint32))
+    return rkm, k64

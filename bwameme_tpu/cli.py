@@ -124,15 +124,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="seeding backend: learned index (P-RMI, the -7 "
                     "path), FM-index (the reference's default backend), or "
                     "ERT (k-mer-root, the -Z path)")
-    pm.add_argument("--batch", type=int, default=2048,
-                    help="reads per device batch")
+    pm.add_argument("--batch", type=int, default=4096,
+                    help="reads per device batch (4096 amortizes the "
+                    "per-dispatch floor; 8192 measured flat)")
     pm.add_argument("--profile", dest="profile_dir", default=None,
                     metavar="DIR",
                     help="capture a jax.profiler trace of the run into DIR "
                     "(view with xprof/tensorboard)")
-    pm.add_argument("--mode", type=int, choices=[1, 2, 3], default=None,
+    pm.add_argument("--mode", type=int, choices=[1, 2, 3, 4], default=None,
                     help="HBM memory tier (reference MODE axis, "
-                    "README.md:151-156): 3=positions+ktext (fastest), "
+                    "README.md:151-156): 4=fused rank rows (fastest, "
+                    "32 B/suffix, sub-2^31 texts), 3=positions+ktext, "
                     "2=positions+rank keys, 1=positions only (smallest); "
                     "default auto")
     return p
@@ -150,7 +152,7 @@ def cmd_index(args) -> int:
           f"n_sa={idx.n_sa} rmi_bits={idx.rmi_bits} max_err={idx.max_err}",
           file=sys.stderr)
     save_index(idx, prefix)
-    print(f"[index] saved to {prefix}.meme.npz (+ .pac/.ann/.amb)",
+    print(f"[index] saved to {prefix}.meme/ (+ .pac/.ann/.amb)",
           file=sys.stderr)
     if args.algo in ("mem2", "all"):
         from bwameme_tpu.index.fmindex import (build_fm_index, save_fm_index,

@@ -16,7 +16,8 @@ src/Learnedindex.cpp:134 buildSAandLEP):
    src/fastmap.cpp:580-607).
 5. P-RMI model trained in JAX (replaces the reference's Rust trainer, RMI/).
 
-Artifacts are stored as ``<prefix>.meme.npz`` plus the classic
+Artifacts are stored under ``<prefix>.meme/`` (one mmap-able .npy per
+plane; legacy ``<prefix>.meme.npz`` still loads) plus the classic
 ``.pac/.ann/.amb`` from bntseq.dump.
 """
 
@@ -139,13 +140,27 @@ def build_from_fasta(fasta_path: str, **kw) -> MemeIndex:
     return build_index(bns, **kw)
 
 
+_BIG_PLANES = ("text", "text32", "sa", "key_hi", "key_lo", "isa")
+
+
 def save_index(idx: MemeIndex, prefix: str) -> None:
+    """Persist under prefix+'.meme/' as one .npy per plane: big planes then
+    load back MEMORY-MAPPED (np.load(..., mmap_mode='r')), the analog of
+    the reference's 3-5 GB/s effective index load (README.md:10) — a
+    zipped .npz must stream-copy every byte through Python (~50 MB/s on
+    this host, 2+ min for a 100 Mbp index)."""
+    import os
+
     bnsmod.dump(idx.bns, prefix)
+    d = prefix + ".meme"
+    os.makedirs(d, exist_ok=True)
+    isa = idx.isa if idx.isa is not None else np.zeros(0, dtype=np.int64)
+    for name, arr in (("text", idx.text), ("text32", idx.text32),
+                      ("sa", idx.sa), ("key_hi", idx.key_hi),
+                      ("key_lo", idx.key_lo), ("isa", isa)):
+        np.save(os.path.join(d, name + ".npy"), arr)
     np.savez(
-        prefix + ".meme.npz",
-        text=idx.text, text32=idx.text32, sa=idx.sa,
-        key_hi=idx.key_hi, key_lo=idx.key_lo,
-        isa=idx.isa if idx.isa is not None else np.zeros(0, dtype=np.int64),
+        os.path.join(d, "meta.npz"),
         pad_len=np.int64(idx.pad_len),
         rmi_bits=np.int64(idx.rmi_bits),
         rmi_alpha=idx.rmi_alpha, rmi_beta=idx.rmi_beta,
@@ -155,7 +170,27 @@ def save_index(idx: MemeIndex, prefix: str) -> None:
 
 
 def load_index(prefix: str) -> MemeIndex:
+    import os
+
     bns = bnsmod.restore(prefix)
+    d = prefix + ".meme"
+    if os.path.isdir(d):
+        z = np.load(os.path.join(d, "meta.npz"))
+
+        def plane(name):
+            return np.load(os.path.join(d, name + ".npy"), mmap_mode="r")
+
+        isa = plane("isa")
+        return MemeIndex(
+            bns=bns, text=plane("text"), text32=plane("text32"),
+            sa=plane("sa"), key_hi=plane("key_hi"), key_lo=plane("key_lo"),
+            isa=isa if len(isa) else None,
+            pad_len=int(z["pad_len"]), rmi_bits=int(z["rmi_bits"]),
+            rmi_alpha=z["rmi_alpha"], rmi_beta=z["rmi_beta"],
+            rmi_err_lo=z["rmi_err_lo"], rmi_err_hi=z["rmi_err_hi"],
+            rmi_leaf_start=z["rmi_leaf_start"],
+        )
+    # legacy single-file .npz layout
     z = np.load(prefix + ".meme.npz")
     isa = z["isa"]
     return MemeIndex(

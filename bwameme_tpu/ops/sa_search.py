@@ -198,22 +198,29 @@ class DeviceIndex:
         if mode == 4:
             assert idx.isa is not None, "mode 4 (rk/kt64) needs the ISA"
             n = len(idx.sa)
-            kh_t = idx.key_hi[idx.isa]  # 16 bases at text position p
-            kl_t = idx.key_lo[idx.isa]
-            k64 = np.empty((n, 4), np.uint32)
-            k64[:, 0] = kh_t
-            k64[:, 1] = kl_t
-            k64[:-32, 2] = kh_t[32:]
-            k64[:-32, 3] = kl_t[32:]
-            k64[-32:, 2:] = 0xFFFFFFFF  # past the padded text: all-T
+            from bwameme_tpu.align.native import build_mode4_rows_native
+
+            nat = build_mode4_rows_native(idx.sa, idx.key_hi, idx.key_lo,
+                                          idx.isa)
+            if nat is not None:
+                rkm, k64 = nat
+            else:
+                kh_t = idx.key_hi[idx.isa]  # 16 bases at text position p
+                kl_t = idx.key_lo[idx.isa]
+                k64 = np.empty((n, 4), np.uint32)
+                k64[:, 0] = kh_t
+                k64[:, 1] = kl_t
+                k64[:-32, 2] = kh_t[32:]
+                k64[:-32, 3] = kl_t[32:]
+                k64[-32:, 2:] = 0xFFFFFFFF  # past the padded text: all-T
+                rkm = np.empty((n, 4), np.uint32)
+                rkm[:, 0] = np.asarray(idx.sa, np.int64).astype(np.uint32)
+                rkm[:, 1] = idx.key_hi
+                rkm[:, 2] = idx.key_lo
+                nxt = np.asarray(idx.sa, np.int64) + 32
+                rkm[:, 3] = np.where(nxt < n, kh_t[np.minimum(nxt, n - 1)],
+                                     np.uint32(0xFFFFFFFF))
             kt64 = put_shard(k64)
-            rkm = np.empty((n, 4), np.uint32)
-            rkm[:, 0] = np.asarray(idx.sa, np.int64).astype(np.uint32)
-            rkm[:, 1] = idx.key_hi
-            rkm[:, 2] = idx.key_lo
-            nxt = np.asarray(idx.sa, np.int64) + 32
-            rkm[:, 3] = np.where(nxt < n, kh_t[np.minimum(nxt, n - 1)],
-                                 np.uint32(0xFFFFFFFF))
             rk = put_shard(rkm)
         elif mode == 3:
             assert idx.isa is not None, "mode 3 (ktext) needs the ISA"

@@ -2526,3 +2526,42 @@ int64_t finalize_pe_c(
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// MODE-4 device-row assembly (ops/sa_search.py:from_host): one
+// cache-friendly pass builds the fused rank rows rkm[r] = (sa[r], key[r],
+// bases 32..48) and the 64-base text-position rows k64[p] (two stacked
+// 32-base keys via the ISA) — replaces four numpy column writes + three
+// 200M-element fancy-index gathers (~115 s -> seconds at 100 Mbp).
+
+extern "C" {
+
+void build_mode4_rows_c(int64_t n, const int64_t* sa, const uint32_t* khi,
+                        const uint32_t* klo, const int64_t* isa,
+                        uint32_t* rkm, uint32_t* k64) {
+  for (int64_t p = 0; p < n; ++p) {
+    uint32_t* row = k64 + 4 * p;
+    int64_t r = isa[p];
+    row[0] = khi[r];
+    row[1] = klo[r];
+    if (p + 32 < n) {
+      int64_t r2 = isa[p + 32];
+      row[2] = khi[r2];
+      row[3] = klo[r2];
+    } else {
+      row[2] = 0xFFFFFFFFu;
+      row[3] = 0xFFFFFFFFu;
+    }
+  }
+  for (int64_t r = 0; r < n; ++r) {
+    uint32_t* row = rkm + 4 * r;
+    int64_t pos = sa[r];
+    row[0] = (uint32_t)pos;
+    row[1] = khi[r];
+    row[2] = klo[r];
+    int64_t nxt = pos + 32;
+    row[3] = nxt < n ? khi[isa[nxt]] : 0xFFFFFFFFu;
+  }
+}
+
+}  // extern "C"

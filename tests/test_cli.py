@@ -48,7 +48,7 @@ def test_cli_index_and_mem_se(workdir):
     d, seq = workdir
     r = run_cli(["index", "ref.fa"], d)
     assert r.returncode == 0, r.stderr
-    assert (d / "ref.fa.meme.npz").exists()
+    assert (d / "ref.fa.meme").is_dir()
     assert (d / "ref.fa.pac").exists()
 
     r = run_cli(["mem", "--engine", "host", "ref.fa", "reads_1.fq"], d)
@@ -66,7 +66,7 @@ def test_cli_index_and_mem_se(workdir):
 
 def test_cli_mem_pe(workdir):
     d, seq = workdir
-    if not (d / "ref.fa.meme.npz").exists():
+    if not (d / "ref.fa.meme").is_dir():
         run_cli(["index", "ref.fa"], d)
     r = run_cli(
         ["mem", "--engine", "host", "ref.fa", "reads_1.fq", "reads_2.fq"], d

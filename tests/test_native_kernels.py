@@ -172,3 +172,39 @@ def test_flat_native_extension_matches(toy_index):
 
     for a, b in zip(ref, got):
         assert sig(a) == sig(b)
+
+
+def test_build_mode4_rows_matches_numpy():
+    from bwameme_tpu.align import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(3)
+    n = 5000
+    sa = rng.permutation(n).astype(np.int64)
+    isa = np.empty(n, np.int64)
+    isa[sa] = np.arange(n)
+    key_hi = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    key_lo = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    got = native.build_mode4_rows_native(sa, key_hi, key_lo, isa)
+    assert got is not None
+    rkm_n, k64_n = got
+    kh_t = key_hi[isa]
+    kl_t = key_lo[isa]
+    k64 = np.empty((n, 4), np.uint32)
+    k64[:, 0] = kh_t
+    k64[:, 1] = kl_t
+    k64[:-32, 2] = kh_t[32:]
+    k64[:-32, 3] = kl_t[32:]
+    k64[-32:, 2:] = 0xFFFFFFFF
+    rkm = np.empty((n, 4), np.uint32)
+    rkm[:, 0] = sa.astype(np.uint32)
+    rkm[:, 1] = key_hi
+    rkm[:, 2] = key_lo
+    nxt = sa + 32
+    rkm[:, 3] = np.where(nxt < n, kh_t[np.minimum(nxt, n - 1)],
+                         np.uint32(0xFFFFFFFF))
+    assert np.array_equal(k64_n, k64)
+    assert np.array_equal(rkm_n, rkm)
