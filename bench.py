@@ -109,7 +109,10 @@ def reference_baseline():
         tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "tools", "bench_reference.py")
         try:
-            subprocess.run([sys.executable, tool], check=True, timeout=3600)
+            env = dict(os.environ, BWAMEME_BENCH_MBP=str(int(REF_MBP)),
+                       BWAMEME_BENCH_READS=str(N_READS))
+            subprocess.run([sys.executable, tool], check=True, timeout=3600,
+                           env=env)
         except Exception as e:  # no toolchain / build failure: fall back
             _log(f"reference baseline unavailable: {e}")
             return None

@@ -642,6 +642,109 @@ def finalize_pe_native(opt, bns, text, pes, pair_id0, recs, regs_per_read,
     return None
 
 
+def dedup_batch_native(opt, bns, text, recs, regs_per_read):
+    """Whole-batch mem_sort_dedup_patch in C++ (dedup_patch_batch_c) — the
+    paired-end kernel-3 prologue (the SE path gets dedup inside
+    finalize_se_c). Returns a list of kept-reg lists per read: the CALLER'S
+    AlnReg objects, reordered and with the patched fields written back, so
+    chain pointers / frac_rep / is_alt survive untouched. None when the
+    native library is unavailable. Byte-identical to
+    align/finalize.sort_dedup_patch (differentially tested)."""
+    lib = _load()
+    if lib is None:
+        return None
+    R = len(recs)
+    counts = [len(r) for r in regs_per_read]
+    G = sum(counts)
+    reg_off = np.zeros(R + 1, np.int32)
+    np.cumsum(counts, out=reg_off[1:])
+    fields = {}
+    for k, dt in (("rb", np.int64), ("re", np.int64), ("qb", np.int32),
+                  ("qe", np.int32), ("rid", np.int32), ("score", np.int32),
+                  ("truesc", np.int32), ("sub", np.int32),
+                  ("csub", np.int32), ("w", np.int32),
+                  ("seedcov", np.int32)):
+        fields[k] = np.empty(G, dt)
+    flat = []
+    g = 0
+    for regs in regs_per_read:
+        for r in regs:
+            fields["rb"][g] = r.rb
+            fields["re"][g] = r.re
+            fields["qb"][g] = r.qb
+            fields["qe"][g] = r.qe
+            fields["rid"][g] = r.rid
+            fields["score"][g] = r.score
+            fields["truesc"][g] = r.truesc
+            fields["sub"][g] = r.sub
+            fields["csub"][g] = r.csub
+            fields["w"][g] = r.w
+            fields["seedcov"][g] = r.seedcov
+            flat.append(r)
+            g += 1
+    n_comp = np.ones(G, np.int32)
+    qoff = np.zeros(R + 1, np.int64)
+    np.cumsum([len(rec.codes) for rec in recs], out=qoff[1:])
+    qcodes = (np.concatenate([rec.codes for rec in recs]).astype(np.uint8)
+              if R else np.zeros(0, np.uint8))
+    text = np.ascontiguousarray(text, dtype=np.uint8)
+    mat = np.ascontiguousarray(opt.mat, dtype=np.int8)
+    iopt, dopt = _fin_opts(opt, 0, 0)
+
+    if not getattr(lib, "_dedup_sig", False):
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i8p = ctypes.POINTER(ctypes.c_int8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.dedup_patch_batch_c.argtypes = [
+            ctypes.c_int32, i32p, i64p, i64p, i32p, i32p, i32p, i32p, i32p,
+            i32p, i32p, i32p, i32p, i32p, u8p, i64p, u8p, ctypes.c_int64,
+            i8p, i64p, f64p, i32p, i32p,
+        ]
+        lib.dedup_patch_batch_c.restype = ctypes.c_int32
+        lib._dedup_sig = True
+
+    out_idx = np.empty(max(G, 1), np.int32)
+    out_off = np.zeros(R + 1, np.int32)
+    lib.dedup_patch_batch_c(
+        R, _p(reg_off, ctypes.c_int32),
+        _p(fields["rb"], ctypes.c_int64), _p(fields["re"], ctypes.c_int64),
+        _p(fields["qb"], ctypes.c_int32), _p(fields["qe"], ctypes.c_int32),
+        _p(fields["rid"], ctypes.c_int32),
+        _p(fields["score"], ctypes.c_int32),
+        _p(fields["truesc"], ctypes.c_int32),
+        _p(fields["sub"], ctypes.c_int32), _p(fields["csub"], ctypes.c_int32),
+        _p(fields["w"], ctypes.c_int32), _p(fields["seedcov"], ctypes.c_int32),
+        _p(n_comp, ctypes.c_int32),
+        _p(qcodes, ctypes.c_uint8), _p(qoff, ctypes.c_int64),
+        _p(text, ctypes.c_uint8), int(bns.l_pac),
+        _p(mat, ctypes.c_int8), _p(iopt, ctypes.c_int64),
+        _p(dopt, ctypes.c_double),
+        _p(out_idx, ctypes.c_int32), _p(out_off, ctypes.c_int32))
+
+    out = []
+    for li in range(R):
+        kept = []
+        for k in range(int(out_off[li]), int(out_off[li + 1])):
+            gk = int(out_idx[k])
+            r = flat[gk]
+            r.rb = int(fields["rb"][gk])
+            r.re = int(fields["re"][gk])
+            r.qb = int(fields["qb"][gk])
+            r.qe = int(fields["qe"][gk])
+            r.score = int(fields["score"][gk])
+            r.truesc = int(fields["truesc"][gk])
+            r.sub = int(fields["sub"][gk])
+            r.csub = int(fields["csub"][gk])
+            r.w = int(fields["w"][gk])
+            r.seedcov = int(fields["seedcov"][gk])
+            r.n_comp = int(n_comp[gk])
+            kept.append(r)
+        out.append(kept)
+    return out
+
+
 def build_mode4_rows_native(sa, key_hi, key_lo, isa):
     """Fused MODE-4 row assembly (rkm, k64) in one C++ pass; None when the
     native library is unavailable (caller uses the numpy fallback)."""

@@ -341,12 +341,24 @@ class Aligner:
             seed_tok = (self._submit_seed(parts[pi + 1])
                         if pi + 1 < len(parts) else None)
             regs_per_read = self._kernel2_finish(k2)
-            for rec, regs in zip(part, regs_per_read):
-                if rec is _PAD_REC:
-                    continue
-                regs = [r for r in regs if r.qe > r.qb]
-                regs = finalize.sort_dedup_patch(opt, bns, text, rec.codes,
-                                                regs)
+            real = [(rec, regs) for rec, regs in zip(part, regs_per_read)
+                    if rec is not _PAD_REC]
+            dd = None
+            if real and getattr(self, "_use_native_finalize", True):
+                # whole-batch mem_sort_dedup_patch in C++ (the SE path gets
+                # dedup inside finalize_se_c; PE needs the regs back for
+                # pestat + batched rescue) — byte-identical contract below
+                from bwameme_tpu.align import native
+
+                dd = native.dedup_batch_native(
+                    opt, bns, text, [t[0] for t in real],
+                    [t[1] for t in real])
+            if dd is None:
+                dd = [finalize.sort_dedup_patch(
+                          opt, bns, text, rec.codes,
+                          [r for r in regs if r.qe > r.qb])
+                      for rec, regs in real]
+            for regs in dd:
                 for r in regs:
                     if r.rid >= 0 and getattr(bns.contigs[r.rid], "is_alt",
                                               False):

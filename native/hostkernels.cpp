@@ -2528,6 +2528,110 @@ int64_t finalize_pe_c(
 }  // extern "C"
 
 // ===========================================================================
+// Whole-batch mem_sort_dedup_patch (reference: src/bwamem.cpp:312-384) for
+// the paired-end path's kernel-3 prologue — the SE path gets dedup inside
+// finalize_se_c, but PE must dedup BEFORE insert-size estimation and the
+// batched mate rescue, so it needs the regs back. Mutates the flat field
+// arrays in place with the patched values and returns the kept regs'
+// ORIGINAL global indices in final order (out_idx) with per-read offsets
+// (out_off, R+1 int32). Fields mem_sort_dedup_patch never touches
+// (frac_rep, is_alt, chain pointers, ...) stay with the caller's objects.
+
+extern "C" {
+
+int32_t dedup_patch_batch_c(
+    int32_t R, const int32_t* reg_off, int64_t* rb, int64_t* re, int32_t* qb,
+    int32_t* qe, const int32_t* rid, int32_t* score, int32_t* truesc,
+    int32_t* sub, int32_t* csub, int32_t* w_arr, int32_t* seedcov,
+    int32_t* n_comp, const uint8_t* qcodes, const int64_t* qoff,
+    const uint8_t* text, int64_t l_pac, const int8_t* mat,
+    const int64_t* iopt, const double* dopt, int32_t* out_idx,
+    int32_t* out_off) {
+  fin::Opts o;  // same iopt/dopt layout as finalize_se_c
+  o.mat = mat;
+  o.o_del = iopt[0];
+  o.e_del = iopt[1];
+  o.o_ins = iopt[2];
+  o.e_ins = iopt[3];
+  o.a = iopt[4];
+  o.b = iopt[5];
+  o.T = iopt[6];
+  o.w = iopt[7];
+  o.max_chain_gap = iopt[8];
+  o.min_seed_len = iopt[9];
+  o.flag = iopt[10];
+  o.max_XA_hits = iopt[11];
+  o.max_XA_hits_alt = iopt[12];
+  o.mapQ_coef_fac = iopt[13];
+  o.extra_flag = 0;
+  o.mask_level = dopt[0];
+  o.mask_level_redun = dopt[1];
+  o.drop_ratio = dopt[2];
+  o.XA_drop_ratio = dopt[3];
+  o.mapQ_coef_len = dopt[4];
+
+  fin::Ref ref;  // dedup/patch only touch text + l_pac (fin::gen_cigar)
+  ref.text = text;
+  ref.l_pac = l_pac;
+  ref.n_ctg = 0;
+  ref.ctg_off = nullptr;
+  ref.ctg_names = nullptr;
+  ref.ctg_name_off = nullptr;
+  ref.ctg_is_alt = nullptr;
+
+  int32_t total = 0;
+  out_off[0] = 0;
+  std::vector<fin::Reg> regs;
+  for (int32_t li = 0; li < R; ++li) {
+    regs.clear();
+    for (int32_t g = reg_off[li]; g < reg_off[li + 1]; ++g) {
+      if (qe[g] <= qb[g]) continue;
+      fin::Reg r;
+      r.rb = rb[g];
+      r.re = re[g];
+      r.qb = qb[g];
+      r.qe = qe[g];
+      r.rid = rid[g];
+      r.score = score[g];
+      r.truesc = truesc[g];
+      r.sub = sub[g];
+      r.csub = csub[g];
+      r.sub_n = 0;
+      r.alt_sc = 0;
+      r.w = w_arr[g];
+      r.seedcov = seedcov[g];
+      r.secondary = -1;
+      r.secondary_all = -1;
+      r.n_comp = 1;
+      r.hash = (uint64_t)g;  // carry the original index through the sorts
+      r.frac_rep = 0.0;
+      r.is_alt = false;
+      regs.push_back(r);
+    }
+    fin::sort_dedup_patch(o, ref, qcodes + qoff[li], regs);
+    for (const auto& r : regs) {
+      int32_t g = (int32_t)r.hash;
+      rb[g] = r.rb;
+      re[g] = r.re;
+      qb[g] = r.qb;
+      qe[g] = r.qe;
+      score[g] = r.score;
+      truesc[g] = r.truesc;
+      sub[g] = r.sub;
+      csub[g] = r.csub;
+      w_arr[g] = r.w;
+      seedcov[g] = r.seedcov;
+      n_comp[g] = r.n_comp;
+      out_idx[total++] = g;
+    }
+    out_off[li + 1] = total;
+  }
+  return total;
+}
+
+}  // extern "C"
+
+// ===========================================================================
 // MODE-4 device-row assembly (ops/sa_search.py:from_host): one
 // cache-friendly pass builds the fused rank rows rkm[r] = (sa[r], key[r],
 // bases 32..48) and the 64-base text-position rows k64[p] (two stacked

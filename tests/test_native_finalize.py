@@ -111,6 +111,38 @@ def test_native_finalize_matches_python(world, ov):
     assert got == want
 
 
+def test_native_dedup_matches_python(world):
+    """dedup_patch_batch_c vs finalize.sort_dedup_patch — identical kept
+    regs (order + every field the dedup/patch can mutate)."""
+    idx, reads = world
+    opt = MemOptions()
+    al = Aligner(idx, opt)
+    recs = [al._encode(r) for r in reads]
+    smems = al.collect_smems(recs)
+    regs = al._kernel2_finish(al._kernel2_submit(recs, smems))
+
+    import copy
+
+    from bwameme_tpu.align import finalize, native
+
+    regs_n = copy.deepcopy(regs)
+    got = native.dedup_batch_native(opt, idx.bns, idx.text, recs, regs_n)
+    assert got is not None
+    n_multi = 0
+    for rec, regs_i, kept in zip(recs, regs, got):
+        want = finalize.sort_dedup_patch(
+            opt, idx.bns, idx.text, rec.codes,
+            [r for r in regs_i if r.qe > r.qb])
+        assert len(kept) == len(want), rec.name
+        if len(kept) > 1:
+            n_multi += 1
+        for a, b in zip(kept, want):
+            for fld in ("rb", "re", "qb", "qe", "rid", "score", "truesc",
+                        "sub", "csub", "w", "seedcov", "n_comp"):
+                assert getattr(a, fld) == getattr(b, fld), (rec.name, fld)
+    assert n_multi > 0  # the workload must actually exercise multi-reg dedup
+
+
 def test_native_pe_matches_python(world):
     """align_pairs with the native mem_pair+mem_sam_pe vs the Python
     contract — identical SAM (covers pairing mapq, TLEN/MC, proper-pair

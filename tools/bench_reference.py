@@ -90,7 +90,9 @@ def parse_stats(stderr: str) -> dict:
 
 
 def main():
-    mbp = int(float(os.environ.get("BWAMEME_BENCH_MBP", "8")))
+    # default must track bench.py's REF_MBP (bench.py passes the env
+    # explicitly; this default covers standalone runs)
+    mbp = int(float(os.environ.get("BWAMEME_BENCH_MBP", "100")))
     nthreads = int(os.environ.get("BWAMEME_BENCH_THREADS",
                                   str(os.cpu_count() or 1)))
     cache = os.path.join(os.path.dirname(os.path.dirname(
