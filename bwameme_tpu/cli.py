@@ -137,6 +137,11 @@ def build_parser() -> argparse.ArgumentParser:
                     "32 B/suffix, sub-2^31 texts), 3=positions+ktext, "
                     "2=positions+rank keys, 1=positions only (smallest); "
                     "default auto")
+    pm.add_argument("--shards", type=int, default=1,
+                    help="shard the suffix-array index by key range over N "
+                    "local devices (jax.sharding.Mesh; per-shard gathers "
+                    "psum-combined — SURVEY.md §5 distributed backend); "
+                    "1 = single device")
     return p
 
 
@@ -318,6 +323,24 @@ def cmd_mem(args) -> int:
         jax.config.update("jax_enable_x64", True)
         print(f"[mem] n_sa={idx.n_sa} >= 2^31: wide (int64) device "
               "coordinates enabled", file=sys.stderr)
+    mesh = None
+    if args.shards > 1:
+        if args.backend == "fmi" or args.engine == "host":
+            print("[mem] --shards requires the device engine with the "
+                  "learned or ert backend", file=sys.stderr)
+            return 1
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < args.shards:
+            print(f"[mem] --shards {args.shards}: only {len(devs)} device(s) "
+                  "visible", file=sys.stderr)
+            return 1
+        mesh = Mesh(_np.array(devs[: args.shards]), ("idx",))
+        print(f"[mem] index sharded over {args.shards} devices "
+              f"({devs[0].platform})", file=sys.stderr)
     engine = None
     if args.ert:
         args.backend = "ert"
@@ -340,7 +363,8 @@ def cmd_mem(args) -> int:
             with np.load(args.prefix + ".ert.npz") as z:
                 ert_bits = int(z["kmer_bits"])
         engine = DeviceSeedingEngine(idx, opt, root="kmer",
-                                     ert_bits=ert_bits, mode=args.mode)
+                                     ert_bits=ert_bits, mode=args.mode,
+                                     lanes=args.batch, mesh=mesh)
     elif args.backend == "fmi":
         import os
 
@@ -363,7 +387,8 @@ def cmd_mem(args) -> int:
     elif args.engine == "device":
         from bwameme_tpu.seeding.engine import DeviceSeedingEngine
 
-        engine = DeviceSeedingEngine(idx, opt, mode=args.mode)
+        engine = DeviceSeedingEngine(idx, opt, mode=args.mode,
+                                     lanes=args.batch, mesh=mesh)
     rg_id = None
     rg_line = None
     if args.R:

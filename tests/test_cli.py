@@ -33,11 +33,13 @@ def workdir(tmp_path_factory):
     return d, seq
 
 
-def run_cli(args, cwd):
+def run_cli(args, cwd, extra_env=None):
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = "/root/repo"
+    if extra_env:
+        env.update(extra_env)
     return subprocess.run(
         [sys.executable, "-m", "bwameme_tpu.cli", *args],
         capture_output=True, text=True, cwd=cwd, env=env, timeout=300,
@@ -77,3 +79,26 @@ def test_cli_mem_pe(workdir):
     flags = [int(ln.split("\t")[1]) for ln in lines]
     assert all(fl & 0x1 for fl in flags)  # all paired
     assert any(fl & 0x40 for fl in flags) and any(fl & 0x80 for fl in flags)
+
+
+def test_cli_mem_shards(workdir):
+    """--shards N: the CLI runs the device engine over an index-sharded
+    mesh (virtual CPU devices) and emits the same SAM as single-device."""
+    d, seq = workdir
+    if not (d / "ref.fa.meme").is_dir():
+        run_cli(["index", "ref.fa"], d)
+
+    def body(r):
+        assert r.returncode == 0, r.stderr
+        return [ln for ln in r.stdout.splitlines()
+                if ln and not ln.startswith("@")]
+
+    extra = {"XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+    one = body(run_cli(["mem", "--batch", "16", "ref.fa", "reads_1.fq"], d,
+                       extra_env=extra))
+    two = body(run_cli(["mem", "--batch", "16", "--shards", "2", "ref.fa",
+                        "reads_1.fq"], d, extra_env=extra))
+    assert "sharded over 2 devices" not in one
+    assert one == two
+    for ln in two:
+        assert ln.split("\t")[5] == "100M", ln
