@@ -93,6 +93,30 @@ def make_reads(idx, rng):
     return reads
 
 
+def _mutate(c, rng):
+    for _ in range(rng.poisson(1.0)):
+        p = int(rng.integers(0, len(c)))
+        c[p] = (c[p] + rng.integers(1, 4)) % 4
+    return c
+
+
+def make_pairs(idx, rng, n_pairs=None):
+    """Paired-end workload: FR pairs with insert ~N(400,50), interleaved
+    [R1,R2,R1,R2,...] as 2-bit code arrays (R2 already reverse-
+    complemented, i.e. as sequenced)."""
+    if n_pairs is None:
+        n_pairs = N_READS // 2
+    out = []
+    for _ in range(n_pairs):
+        ins = int(np.clip(rng.normal(400.0, 50.0), 2 * READ_LEN + 10, 650))
+        st = int(rng.integers(0, idx.l_pac - ins - 1))
+        frag = idx.text[st: st + ins]
+        r1 = _mutate(frag[:READ_LEN].copy(), rng)
+        r2 = _mutate((3 - frag[-READ_LEN:][::-1]).astype(np.uint8), rng)
+        out.extend([r1, r2])
+    return out
+
+
 def _log(msg):
     print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
@@ -214,6 +238,55 @@ def main():
               file=sys.stderr)
         sys.exit(1)
 
+    # ---- end-to-end (seed -> chain -> extend -> finalize -> SAM) ----
+    # An aligner is judged on e2e, not seeding alone (reference's second
+    # headline: 1.4x e2e, README.md:7). Same reads, production pipeline.
+    from bwameme_tpu.io.fastq import Read
+    from bwameme_tpu.pipeline import Aligner
+
+    chars = np.frombuffer(b"ACGT", np.uint8)
+
+    def to_read(tag, i, c):
+        return Read(name=f"{tag}{i}", seq=chars[c].tobytes().decode(),
+                    qual="I" * len(c), comment=None)
+
+    read_objs = [to_read("b", i, c) for i, c in enumerate(reads)]
+    al = Aligner(idx, opt, seeding_engine=eng)
+    batches = [read_objs[i: i + BATCH]
+               for i in range(0, len(read_objs), BATCH)]
+    _log("e2e SE warmup (extension/finalize compiles)")
+    t0 = time.time()
+    n_rec = sum(len(s) for s in al.align_stream(iter(batches[:1])))
+    print(f"# e2e warmup+compile: {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    n_rec = 0
+    for sam in al.align_stream(iter(batches)):
+        n_rec += len(sam)
+    dt = time.time() - t0
+    e2e_se_rps = len(read_objs) / dt
+    print(f"# e2e SE: {len(read_objs)} reads in {dt:.2f}s "
+          f"({e2e_se_rps:.0f} reads/s), {n_rec} records", file=sys.stderr)
+
+    pair_objs = [to_read("p", i >> 1, c)
+                 for i, c in enumerate(make_pairs(idx,
+                                                  np.random.default_rng(13)))]
+    _log("e2e PE warmup (rescue/pairing compiles)")
+    t0 = time.time()
+    al.align_pairs(pair_objs)
+    print(f"# e2e PE warmup+compile: {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    sam_pe = al.align_pairs(pair_objs)
+    dt = time.time() - t0
+    e2e_pe_rps = len(pair_objs) / dt
+    print(f"# e2e PE: {len(pair_objs)} reads in {dt:.2f}s "
+          f"({e2e_pe_rps:.0f} reads/s), {len(sam_pe)} records",
+          file=sys.stderr)
+
+    if fallbacks.total():
+        print(f"# FAIL: fused paths fell back during e2e: "
+              f"{fallbacks.summary()}", file=sys.stderr)
+        sys.exit(1)
+
     ref = reference_baseline()
     if ref and ref.get("seeding_rps"):
         base_rps = float(ref["seeding_rps"])
@@ -238,13 +311,31 @@ def main():
         "vs_baseline": round(device_rps / max(base_rps, 1e-9), 2),
         "baseline": note,
     }
+    # e2e records, each vs the reference FM backend (the BWA-MEM2-
+    # equivalent yardstick both reference headlines are measured against)
+    # and, when measured, vs the reference's own learned -7 path ("meme")
+    # running on our exported index (tools/bench_reference.py)
+    def _vs(v, key):
+        b = ref.get(key) if ref else None
+        return round(v / float(b), 2) if b else None
+
+    out["e2e_se"] = {"value": round(e2e_se_rps, 1), "unit": "reads/s/chip",
+                     "vs_baseline": _vs(e2e_se_rps, "e2e_rps"),
+                     "vs_meme": _vs(e2e_se_rps, "learned_e2e_rps")}
+    out["e2e_pe"] = {"value": round(e2e_pe_rps, 1), "unit": "reads/s/chip",
+                     "vs_baseline": _vs(e2e_pe_rps, "e2e_pe_rps"),
+                     "vs_meme": _vs(e2e_pe_rps, "learned_e2e_pe_rps")}
+    if ref and ref.get("learned_seedchain_rps"):
+        out["vs_meme_seeding"] = round(
+            device_rps / float(ref["learned_seedchain_rps"]), 2)
     if degraded:
         out["degraded"] = degraded
     # scale record: runs at other index sizes stash their result so the
     # default-size run carries the genome-scale ratio too (the reference's
     # raison d'être is big indexes; CPU caches flatter it at toy sizes)
     rec = {"mbp": REF_MBP, "value": out["value"],
-           "vs_baseline": out["vs_baseline"], "baseline": note}
+           "vs_baseline": out["vs_baseline"], "baseline": note,
+           "e2e_se": out["e2e_se"], "e2e_pe": out["e2e_pe"]}
     try:
         import subprocess as sp
 
@@ -260,7 +351,7 @@ def main():
             json.dump(rec, f)
     except OSError:
         pass
-    for other in (100, 8):
+    for other in (1000, 100, 8):
         if other == int(REF_MBP):
             continue
         p = os.path.join(CACHE, f"last_{other}mbp.json")

@@ -38,3 +38,28 @@ try:  # persistent compile cache: the big fused programs compile once
     _cc.set_cache_dir(os.environ["JAX_COMPILATION_CACHE_DIR"])
 except Exception:
     pass
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def ref_bin():
+    """Path to the reference bwa-meme binary, building it once per
+    session when absent (tools/build_reference.sh into /tmp/refbuild) so
+    the live-binary parity surface runs in fresh containers instead of
+    silently skipping (VERDICT r2 #8). Skips only when no toolchain."""
+    import shutil
+    import subprocess
+
+    path = os.environ.get("BWAMEME_REF_BIN", "/tmp/refbuild/bwa-meme")
+    if os.path.exists(path):
+        return path
+    if shutil.which("g++") is None or not os.path.isdir("/root/reference"):
+        pytest.skip("reference binary absent and no toolchain to build it")
+    script = os.path.join(_repo, "tools", "build_reference.sh")
+    try:
+        subprocess.run(["sh", script, os.path.dirname(path)],
+                       check=True, capture_output=True, timeout=2400)
+    except Exception as e:
+        pytest.skip(f"reference build failed: {e}")
+    return path

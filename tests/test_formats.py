@@ -70,15 +70,10 @@ def test_bwt_2bit_64_roundtrip(idx, tmp_path):
     assert np.array_equal(fm2.sa, fm.sa)  # full SA from the 1/8 samples
 
 
-def test_bwt_2bit_64_byte_compat_with_reference(idx, tmp_path):
+def test_bwt_2bit_64_byte_compat_with_reference(idx, tmp_path, ref_bin):
     """Our writer's file is byte-identical to the reference binary's
     (FMI_search::build_fm_index) over the same FASTA."""
-    import os
     import subprocess
-
-    ref_bin = os.environ.get("BWAMEME_REF_BIN", "/tmp/refbuild/bwa-meme")
-    if not os.path.exists(ref_bin):
-        pytest.skip("reference binary not built")
     from bwameme_tpu.index.fmindex import build_fm_index, write_bwt_2bit_64
 
     fa = tmp_path / "r.fa"

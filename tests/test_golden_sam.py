@@ -7,8 +7,15 @@ same configs through this framework's CLI and requires byte-identical
 alignment records — the reference's own correctness contract
 (reference: README.md:80-92), with no environment setup needed.
 
+All 8 configs run by default (VERDICT r2 #8). They share one indexed
+workdir and run IN-PROCESS through cli.main (same arg parsing/engine
+selection as the subprocess path, but the interpreter + jax import +
+compile cache are amortized — a subprocess per config was multi-minute
+on 1-vCPU hosts); one config additionally runs as a real subprocess to
+cover the `python -m bwameme_tpu.cli` entry itself.
+
 test_reference_parity.py remains the live-binary variant (option fuzz,
-multiple backends) for sessions where BWAMEME_REF_BIN is set.
+multiple backends), now bootstrapped by the session `ref_bin` fixture.
 """
 
 import gzip
@@ -28,19 +35,15 @@ import pytest
 
 GOLD = os.path.join(os.path.dirname(__file__), "golden")
 
-# se_Y + pe_default always run; the rest are the FULL sweep, opt-in via
-# BWAMEME_FULL_GOLDEN=1 (this host's single throttled vCPU makes each
-# config a multi-minute subprocess run)
-FULL = os.environ.get("BWAMEME_FULL_GOLDEN", "0") == "1"
 CONFIGS = [
-    ("se_Y", ["-Y"], "se", True),
-    ("se_default", [], "se", FULL),
-    ("se_all", ["-a", "-Y"], "se", FULL),
-    ("se_T40", ["-T", "40"], "se", FULL),
-    ("se_5", ["-5", "-Y"], "se", FULL),
-    ("se_x_intractg", ["-x", "intractg"], "se", FULL),
-    ("pe_Y", ["-Y"], "pe", FULL),
-    ("pe_default", [], "pe", True),
+    ("se_Y", ["-Y"], "se"),
+    ("se_default", [], "se"),
+    ("se_all", ["-a", "-Y"], "se"),
+    ("se_T40", ["-T", "40"], "se"),
+    ("se_5", ["-5", "-Y"], "se"),
+    ("se_x_intractg", ["-x", "intractg"], "se"),
+    ("pe_Y", ["-Y"], "pe"),
+    ("pe_default", [], "pe"),
 ]
 
 
@@ -50,28 +53,47 @@ def workdir(tmp_path_factory):
     for name in ["ref.fa", "reads_se.fq", "reads_1.fq", "reads_2.fq"]:
         with gzip.open(os.path.join(GOLD, name + ".gz"), "rt") as f:
             (d / name).write_text(f.read())
-    subprocess.run(
-        [sys.executable, "-m", "bwameme_tpu.cli", "index", str(d / "ref.fa"),
-         "-p", str(d / "idx")],
-        check=True, capture_output=True, cwd="/root/repo", env=_ENV,
-    )
+    from bwameme_tpu import cli
+
+    rc = cli.main(["index", str(d / "ref.fa"), "-p", str(d / "idx")])
+    assert rc == 0
     return d
 
 
-@pytest.mark.parametrize("name,flags,mode,always", CONFIGS,
+def _golden(name):
+    with gzip.open(os.path.join(GOLD, name + ".sam.gz"), "rt") as f:
+        return f.read().splitlines()
+
+
+def _reads(d, mode):
+    return ([str(d / "reads_se.fq")] if mode == "se" else
+            [str(d / "reads_1.fq"), str(d / "reads_2.fq")])
+
+
+@pytest.mark.parametrize("name,flags,mode", CONFIGS,
                          ids=[c[0] for c in CONFIGS])
-def test_golden(workdir, name, flags, mode, always):
-    if not always:
-        pytest.skip("full golden sweep: set BWAMEME_FULL_GOLDEN=1")
+def test_golden(workdir, tmp_path, name, flags, mode):
+    from bwameme_tpu import cli
+
     d = workdir
-    reads = ([str(d / "reads_se.fq")] if mode == "se" else
-             [str(d / "reads_1.fq"), str(d / "reads_2.fq")])
+    out = tmp_path / f"{name}.sam"
+    rc = cli.main(["mem", "-K", "100000000", *flags, str(d / "idx"),
+                   *_reads(d, mode), "--engine", "host",
+                   "-o", str(out)])
+    assert rc == 0
+    got = [ln for ln in out.read_text().splitlines()
+           if not ln.startswith("@")]
+    assert got == _golden(name)
+
+
+def test_golden_subprocess_cli(workdir):
+    """One config through the real `python -m bwameme_tpu.cli` entry."""
+    d = workdir
     ours = subprocess.run(
         [sys.executable, "-m", "bwameme_tpu.cli", "mem", "-K", "100000000",
-         *flags, str(d / "idx"), *reads, "--engine", "host"],
-        check=True, capture_output=True, text=True, cwd="/root/repo", env=_ENV,
+         "-Y", str(d / "idx"), *_reads(d, "se"), "--engine", "host"],
+        check=True, capture_output=True, text=True, cwd="/root/repo",
+        env=_ENV,
     )
     got = [ln for ln in ours.stdout.splitlines() if not ln.startswith("@")]
-    with gzip.open(os.path.join(GOLD, name + ".sam.gz"), "rt") as f:
-        want = f.read().splitlines()
-    assert got == want
+    assert got == _golden("se_Y")

@@ -60,9 +60,10 @@ def child() -> None:
         reads.append(Read(name=f"r{i}", seq="".join(chars[x] for x in c),
                           qual="I" * len(c), comment=None))
     opt = MemOptions()
-    eng = DeviceSeedingEngine(idx, opt, lanes=2048)
+    lanes = int(os.environ.get("BWAMEME_AB_LANES", "2048"))
+    eng = DeviceSeedingEngine(idx, opt, lanes=lanes)
     al = Aligner(idx, opt, seeding_engine=eng)
-    batches = [reads[i: i + 2048] for i in range(0, len(reads), 2048)]
+    batches = [reads[i: i + lanes] for i in range(0, len(reads), lanes)]
     # warmup: one full batch (compiles every kernel at production shape)
     t0 = time.time()
     sum(1 for _ in al.align_stream(iter(batches[:1])))
