@@ -30,7 +30,7 @@ def _load():
             # reference (fma contraction would shift predictions ~1 ulp)
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-ffp-contract=off",
-                 "-shared", "-fPIC", _SRC, "-o", _LIB],
+                 "-pthread", "-shared", "-fPIC", _SRC, "-o", _LIB],
                 check=True, capture_output=True,
             )
         lib = ctypes.CDLL(_LIB)

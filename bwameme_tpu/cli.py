@@ -142,6 +142,11 @@ def build_parser() -> argparse.ArgumentParser:
                     "local devices (jax.sharding.Mesh; per-shard gathers "
                     "psum-combined — SURVEY.md §5 distributed backend); "
                     "1 = single device")
+    pm.add_argument("--dp-shards", type=int, default=1,
+                    help="data-parallel rows: shard read batches across N "
+                    "dp rows of a 2-D dp x idx mesh (each row holds a full "
+                    "index replica sharded over --shards idx devices; "
+                    "parallel/dp.py); 1 = no data parallelism")
     return p
 
 
@@ -324,23 +329,34 @@ def cmd_mem(args) -> int:
         print(f"[mem] n_sa={idx.n_sa} >= 2^31: wide (int64) device "
               "coordinates enabled", file=sys.stderr)
     mesh = None
-    if args.shards > 1:
+    dp_mesh = None
+    if args.shards > 1 or args.dp_shards > 1:
         if args.backend == "fmi" or args.engine == "host":
-            print("[mem] --shards requires the device engine with the "
-                  "learned or ert backend", file=sys.stderr)
+            print("[mem] --shards/--dp-shards require the device engine "
+                  "with the learned or ert backend", file=sys.stderr)
             return 1
         import jax
         import numpy as _np
         from jax.sharding import Mesh
 
         devs = jax.devices()
-        if len(devs) < args.shards:
-            print(f"[mem] --shards {args.shards}: only {len(devs)} device(s) "
-                  "visible", file=sys.stderr)
+        need = args.shards * args.dp_shards
+        if len(devs) < need:
+            print(f"[mem] --dp-shards {args.dp_shards} x --shards "
+                  f"{args.shards}: only {len(devs)} device(s) visible",
+                  file=sys.stderr)
             return 1
-        mesh = Mesh(_np.array(devs[: args.shards]), ("idx",))
-        print(f"[mem] index sharded over {args.shards} devices "
-              f"({devs[0].platform})", file=sys.stderr)
+        if args.dp_shards > 1:
+            from bwameme_tpu.parallel.dp import make_dp_mesh
+
+            dp_mesh = make_dp_mesh(args.dp_shards, args.shards, devs)
+            print(f"[mem] 2-D mesh: {args.dp_shards} dp rows x "
+                  f"{args.shards} idx shards ({devs[0].platform})",
+                  file=sys.stderr)
+        elif args.shards > 1:
+            mesh = Mesh(_np.array(devs[: args.shards]), ("idx",))
+            print(f"[mem] index sharded over {args.shards} devices "
+                  f"({devs[0].platform})", file=sys.stderr)
     engine = None
     if args.ert:
         args.backend = "ert"
@@ -362,9 +378,18 @@ def cmd_mem(args) -> int:
 
             with np.load(args.prefix + ".ert.npz") as z:
                 ert_bits = int(z["kmer_bits"])
-        engine = DeviceSeedingEngine(idx, opt, root="kmer",
-                                     ert_bits=ert_bits, mode=args.mode,
-                                     lanes=args.batch, mesh=mesh)
+        if dp_mesh is not None:
+            # each dp row sees 1/dp of every chunk
+            row_lanes = -(-args.batch // args.dp_shards)
+
+            def engine_factory(row_mesh, _eb=ert_bits):
+                return DeviceSeedingEngine(idx, opt, root="kmer",
+                                           ert_bits=_eb, mode=args.mode,
+                                           lanes=row_lanes, mesh=row_mesh)
+        else:
+            engine = DeviceSeedingEngine(idx, opt, root="kmer",
+                                         ert_bits=ert_bits, mode=args.mode,
+                                         lanes=args.batch, mesh=mesh)
     elif args.backend == "fmi":
         import os
 
@@ -387,8 +412,15 @@ def cmd_mem(args) -> int:
     elif args.engine == "device":
         from bwameme_tpu.seeding.engine import DeviceSeedingEngine
 
-        engine = DeviceSeedingEngine(idx, opt, mode=args.mode,
-                                     lanes=args.batch, mesh=mesh)
+        if dp_mesh is not None:
+            row_lanes = -(-args.batch // args.dp_shards)
+
+            def engine_factory(row_mesh):
+                return DeviceSeedingEngine(idx, opt, mode=args.mode,
+                                           lanes=row_lanes, mesh=row_mesh)
+        else:
+            engine = DeviceSeedingEngine(idx, opt, mode=args.mode,
+                                         lanes=args.batch, mesh=mesh)
     rg_id = None
     rg_line = None
     if args.R:
@@ -415,8 +447,16 @@ def cmd_mem(args) -> int:
         pes0 = [PeStat(failed=1), fr, PeStat(failed=1), PeStat(failed=1)]
         print(f"[mem] fixed FR insert size: avg={fr.avg} std={fr.std} "
               f"range [{fr.low},{fr.high}]", file=sys.stderr)
-    aligner = Aligner(idx, opt, seeding_engine=engine, rg_id=rg_id,
-                      pes0=pes0, copy_comment=args.copy_comment)
+    if dp_mesh is not None:
+        from bwameme_tpu.parallel.dp import DataParallelAligner
+
+        aligner = DataParallelAligner(idx, opt, mesh=dp_mesh,
+                                      engine_factory=engine_factory,
+                                      rg_id=rg_id, pes0=pes0,
+                                      copy_comment=args.copy_comment)
+    else:
+        aligner = Aligner(idx, opt, seeding_engine=engine, rg_id=rg_id,
+                          pes0=pes0, copy_comment=args.copy_comment)
     out = open(args.outfile, "w") if args.outfile else sys.stdout
     extra_hdr = None
     if args.hdr_insert:

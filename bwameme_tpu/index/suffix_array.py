@@ -34,7 +34,8 @@ def _load_native():
         if (not os.path.exists(_LIB)) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
             os.makedirs(os.path.dirname(_LIB), exist_ok=True)
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB],
+                ["g++", "-O3", "-march=native", "-pthread", "-shared",
+                 "-fPIC", _SRC, "-o", _LIB],
                 check=True,
                 capture_output=True,
             )

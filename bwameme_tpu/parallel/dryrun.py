@@ -112,6 +112,40 @@ def run_dryrun(n_devices: int) -> None:
           f"{time.time()-t0:.1f}s", file=sys.stderr)
     assert sam_pe == sam_pe_base, "mesh PE SAM != single-device SAM"
 
+    # ---- 2-D dp x idx mesh: read batches sharded across dp rows, the
+    # index sharded over each row's idx sub-mesh (parallel/dp.py) ----
+    if n_devices >= 4:
+        from bwameme_tpu.parallel.dp import DataParallelAligner, make_dp_mesh
+
+        n_dp = 2
+        n_idx = n_devices // n_dp
+        mesh2 = make_dp_mesh(n_dp, n_idx, devices)
+        t0 = time.time()
+
+        def factory(row_mesh, _opt=opt):
+            return DeviceSeedingEngine(idx, _opt, max_read_len=160,
+                                       lanes=128, mesh=row_mesh)
+
+        dp_al = DataParallelAligner(idx, opt, mesh=mesh2,
+                                    engine_factory=factory)
+        sam_dp = dp_al.align_batch(se_reads)
+        print(f"[dryrun] SE x{len(se_reads)} on {n_dp}x{n_idx} dp/idx mesh: "
+              f"{time.time()-t0:.1f}s (incl. compile)", file=sys.stderr)
+        assert sam_dp == sam_se_base, "dp-mesh SE SAM != single-device SAM"
+
+        t0 = time.time()
+
+        def factory_pe(row_mesh, _opt=opt_pe):
+            return DeviceSeedingEngine(idx, _opt, max_read_len=160,
+                                       lanes=128, mesh=row_mesh)
+
+        dp_pe = DataParallelAligner(idx, opt_pe, mesh=mesh2,
+                                    engine_factory=factory_pe)
+        sam_dp_pe = dp_pe.align_pairs(pe_reads)
+        print(f"[dryrun] PE x{len(pe_reads)//2} pairs on dp/idx mesh: "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
+        assert sam_dp_pe == sam_pe_base, "dp-mesh PE SAM != single-device SAM"
+
     # ---- seeding scaling probe over shard counts ----
     shard_counts = sorted({1, 2, n_devices} & set(range(1, n_devices + 1)))
     probe = _scaling_probe(idx, opt, shard_counts, devices)
@@ -121,7 +155,8 @@ def run_dryrun(n_devices: int) -> None:
           "chips)", flush=True)
     print(f"[dryrun] sa_query scaling probe (reads/s by shards): {probe}",
           file=sys.stderr)
-    print(f"[dryrun] OK: full pipeline on {n_devices} devices, SAM "
+    extra = (f" + 2x{n_devices//2} dp/idx mesh" if n_devices >= 4 else "")
+    print(f"[dryrun] OK: full pipeline on {n_devices} devices{extra}, SAM "
           f"identical to single-device ({len(sam_se)} SE + "
           f"{len(sam_pe)} PE records)", file=sys.stderr)
 

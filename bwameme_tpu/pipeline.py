@@ -308,11 +308,23 @@ class Aligner:
         from bwameme_tpu.align import pairing
 
         assert len(reads) % 2 == 0
+        recs = [self._encode(r) for r in reads]
+        deduped = self._pe_kernels(recs)
+        # insert-size statistics over the whole chunk (or the -I override)
+        with tstage("pe.pestat"):
+            pes = (self.pes0 if self.pes0 is not None
+                   else pairing.pestat(self.opt, self.idx.bns.l_pac, deduped))
+        return self._pe_finalize(recs, deduped, pes)
+
+    def _pe_kernels(self, recs: list[ReadRec]) -> list[list]:
+        """PE kernels 1-2 (+ whole-batch dedup) for an interleaved chunk;
+        returns deduped alnregs per read. Split out so a data-parallel
+        driver (parallel/dp.py) can run this per dp shard and compute the
+        chunk-wide insert statistics globally before _pe_finalize."""
         opt = self.opt
         idx = self.idx
         bns = idx.bns
         text = idx.text
-        recs = [self._encode(r) for r in reads]
 
         # kernels 1-2 in device-sized batches, pipelined like align_stream
         # (seed(k+1) enqueued between extend(k)'s dispatch and its host
@@ -364,17 +376,24 @@ class Aligner:
                                               False):
                         r.is_alt = True
                 deduped.append(regs)
+        return deduped
 
-        # insert-size statistics over the whole chunk (or the -I override)
-        with tstage("pe.pestat"):
-            pes = (self.pes0 if self.pes0 is not None
-                   else pairing.pestat(opt, bns.l_pac, deduped))
+    def _pe_finalize(self, recs: list[ReadRec], deduped, pes) -> list[str]:
+        """PE rescue + pairing + SAM emission for an interleaved chunk whose
+        kernels already ran (_pe_kernels) and whose insert statistics are
+        given (chunk-wide, or dp-global under parallel/dp.py)."""
+        from bwameme_tpu.align import pairing
+
+        opt = self.opt
+        idx = self.idx
+        bns = idx.bns
+        text = idx.text
         if self.batched_rescue:
             with tstage("pe.rescue"):
                 recs_pairs = [(recs[i], recs[i + 1])
-                              for i in range(0, len(reads), 2)]
+                              for i in range(0, len(recs), 2)]
                 regs_pairs = [[deduped[i], deduped[i + 1]]
-                              for i in range(0, len(reads), 2)]
+                              for i in range(0, len(recs), 2)]
                 pairing.sam_pe_batch_rescue(opt, bns, text, pes, recs_pairs,
                                             regs_pairs)
         out = None
@@ -393,7 +412,7 @@ class Aligner:
                     self._use_native_finalize = False
             if out is None:
                 out = []
-                for i in range(0, len(reads), 2):
+                for i in range(0, len(recs), 2):
                     pair_id = (self.n_processed >> 1) + (i >> 1)
                     s0, s1 = pairing.sam_pe(
                         opt, bns, text, pes, pair_id,
@@ -402,5 +421,5 @@ class Aligner:
                         rg_id=self.rg_id, skip_rescue=self.batched_rescue,
                     )
                     out.extend([s0, s1])
-        self.n_processed += len(reads)
+        self.n_processed += len(recs)
         return out

@@ -911,7 +911,49 @@ void extend_finalize_c(
 // ---------------------------------------------------------------------------
 // Index-build helpers: linear passes that numpy runs 10-100x slower on the
 // throttled build hosts (the analog of the reference's OpenMP key
-// regeneration in get_key_of_ref, src/fastmap.cpp:537-612).
+// regeneration in get_key_of_ref, src/fastmap.cpp:537-612). All passes are
+// threaded (BWAMEME_BUILD_THREADS, default = hardware concurrency) the way
+// the reference threads its build (src/Learnedindex.cpp:301 `#pragma omp`,
+// README.md:69-71 "~1 h with >=8 threads"); every parallel decomposition
+// preserves the serial pass's exact arithmetic order within each output
+// element, so results are bit-identical at any thread count.
+
+#include <cstdlib>
+#include <thread>
+
+namespace bld {
+
+inline int nthreads() {
+  const char* e = std::getenv("BWAMEME_BUILD_THREADS");
+  if (e && *e) {
+    int v = std::atoi(e);
+    if (v >= 1) return v;
+  }
+  unsigned hc = std::thread::hardware_concurrency();
+  return hc ? (int)hc : 1;
+}
+
+// Run fn(t, begin, end) over nt roughly equal chunks of [0, n).
+template <typename F>
+void parallel_chunks(int64_t n, F fn) {
+  int nt = nthreads();
+  if (nt <= 1 || n < (int64_t)nt * 4096) {
+    fn(0, (int64_t)0, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  int64_t per = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t b = (int64_t)t * per;
+    int64_t e = b + per < n ? b + per : n;
+    if (b >= e) break;
+    ts.emplace_back(fn, t, b, e);
+  }
+  for (auto& th : ts) th.join();
+}
+
+}  // namespace bld
 
 extern "C" {
 
@@ -921,33 +963,56 @@ extern "C" {
 // packing.extract_key64's layout.
 void extract_key64_c(const uint32_t* words, const int64_t* pos, int64_t n,
                      uint64_t* out) {
-  for (int64_t i = 0; i < n; ++i) {
-    int64_t p = pos[i];
-    int64_t wi = p >> 4;
-    uint32_t sh = (uint32_t)((p & 15) << 1);
-    uint64_t hi64 = ((uint64_t)words[wi] << 32) | words[wi + 1];
-    if (sh == 0) {
-      out[i] = hi64;
-    } else {
-      out[i] = (hi64 << sh) | (words[wi + 2] >> (32 - sh));
+  bld::parallel_chunks(n, [&](int, int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; ++i) {
+      int64_t p = pos[i];
+      int64_t wi = p >> 4;
+      uint32_t sh = (uint32_t)((p & 15) << 1);
+      uint64_t hi64 = ((uint64_t)words[wi] << 32) | words[wi + 1];
+      if (sh == 0) {
+        out[i] = hi64;
+      } else {
+        out[i] = (hi64 << sh) | (words[wi + 2] >> (32 - sh));
+      }
     }
-  }
+  });
 }
 
-// out[sa[i]] = i for every entry (inverse suffix array).
+// out[sa[i]] = i for every entry (inverse suffix array). sa is a
+// permutation, so parallel scatter writes touch disjoint slots.
 void invert_sa_c(const int64_t* sa, int64_t n, int64_t* out) {
-  for (int64_t i = 0; i < n; ++i) out[sa[i]] = i;
+  bld::parallel_chunks(n, [&](int, int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; ++i) out[sa[i]] = i;
+  });
 }
 
 // Copy the entries of `sa` that are < limit into `out` (stable order);
-// returns the count. One pass instead of numpy's mask+fancy-index pair.
+// returns the count. Count-scan-write: per-chunk counts, exclusive scan,
+// then each chunk writes its own output range (stable by construction).
 int64_t filter_lt_c(const int64_t* sa, int64_t n, int64_t limit,
                     int64_t* out) {
-  int64_t k = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    if (sa[i] < limit) out[k++] = sa[i];
+  int nt = bld::nthreads();
+  if (nt <= 1 || n < (int64_t)nt * 4096) {
+    int64_t k = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      if (sa[i] < limit) out[k++] = sa[i];
+    }
+    return k;
   }
-  return k;
+  std::vector<int64_t> cnt(nt + 1, 0);
+  bld::parallel_chunks(n, [&](int t, int64_t b, int64_t e) {
+    int64_t k = 0;
+    for (int64_t i = b; i < e; ++i) k += (sa[i] < limit);
+    cnt[t + 1] = k;
+  });
+  for (int t = 0; t < nt; ++t) cnt[t + 1] += cnt[t];
+  bld::parallel_chunks(n, [&](int t, int64_t b, int64_t e) {
+    int64_t k = cnt[t];
+    for (int64_t i = b; i < e; ++i) {
+      if (sa[i] < limit) out[k++] = sa[i];
+    }
+  });
+  return cnt[nt];
 }
 
 }  // extern "C"
@@ -990,65 +1055,72 @@ void train_prmi_c(const uint32_t* key_hi, const uint32_t* key_lo, int64_t n,
   const uint32_t mask =
       bits < 32 ? (uint32_t)(((uint64_t)1 << (32 - bits)) - 1) : 0u;
 
-  // pass 1: leaf boundaries + per-leaf moments
-  std::vector<double> s1(L, 0.0), sx(L, 0.0), sy(L, 0.0), sxx(L, 0.0),
-      sxy(L, 0.0);
-  {
-    int64_t prev = -1;
-    int64_t seg_start = 0;
-    for (int64_t i = 0; i < n; ++i) {
-      int64_t leaf = (int64_t)(key_hi[i] >> shift);
-      if (leaf != prev) {
-        for (int64_t l = prev + 1; l <= leaf; ++l) leaf_start[l] = i;
-        prev = leaf;
-        seg_start = i;
+  // leaf boundaries: keys are sorted, so leaf_start[l] = lower_bound of l
+  // over key_hi >> shift — independent binary searches, threaded over
+  // leaves (identical to the serial scan's boundary fills).
+  leaf_start[L] = n;
+  bld::parallel_chunks(L, [&](int, int64_t lb, int64_t le) {
+    for (int64_t l = lb; l < le; ++l) {
+      int64_t lo = 0, hi = n;
+      while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if ((int64_t)(key_hi[mid] >> shift) < l) {
+          lo = mid + 1;
+        } else {
+          hi = mid;
+        }
       }
-      double rel =
-          (double)(key_hi[i] & mask) * 4294967296.0 + (double)key_lo[i];
-      double y = (double)(i - seg_start);
-      s1[leaf] += 1.0;
-      sx[leaf] += rel;
-      sy[leaf] += y;
-      sxx[leaf] += rel * rel;
-      sxy[leaf] += rel * y;
+      leaf_start[l] = lo;
     }
-    for (int64_t l = prev + 1; l <= L; ++l) leaf_start[l] = n;
-  }
-  for (int64_t l = 0; l < L; ++l) {
-    double c = s1[l] > 1.0 ? s1[l] : 1.0;
-    double var = sxx[l] - sx[l] * sx[l] / c;
-    double cov = sxy[l] - sx[l] * sy[l] / c;
-    double b = var > 0.0 ? cov / (var > 1e-300 ? var : 1e-300) : 0.0;
-    if (b < 0.0 || b != b || b > 1e300) b = 0.0;  // monotone + finite
-    double a = s1[l] > 0.0 ? (sy[l] - b * sx[l]) / c : 0.0;
-    if (a != a || a > 1e300 || a < -1e300) a = 0.0;
-    alpha[l] = (float)a;
-    beta[l] = (float)b;
-    err_lo[l] = 0;
-    err_hi[l] = 0;
-  }
+  });
 
-  // pass 2: guaranteed error windows under the device's f32 arithmetic
-  std::vector<int64_t> over(L, 0), under(L, 0);
-  for (int64_t i = 0; i < n; ++i) {
-    int64_t leaf = (int64_t)(key_hi[i] >> shift);
-    float rel32 =
-        (float)(key_hi[i] & mask) * 4294967296.0f + (float)key_lo[i];
-    float predf = alpha[leaf] + beta[leaf] * rel32;
-    float cnt = (float)(leaf_start[leaf + 1] - leaf_start[leaf]);
-    if (!(predf > 0.0f)) predf = 0.0f;  // NaN -> 0, matching np.clip
-    if (predf > cnt) predf = cnt;
-    int64_t pred_i = leaf_start[leaf] + (int64_t)predf;
-    int64_t o = pred_i - i, u = i - pred_i;
-    if (o > over[leaf]) over[leaf] = o;
-    if (u > under[leaf]) under[leaf] = u;
-  }
-  for (int64_t l = 0; l < L; ++l) {
-    int64_t elo = (over[l] > 0 ? over[l] : 0) + margin;
-    int64_t ehi = (under[l] > 0 ? under[l] : 0) + 1 + margin;
-    err_lo[l] = (int32_t)(elo > 0x7FFFFFFF ? 0x7FFFFFFF : elo);
-    err_hi[l] = (int32_t)(ehi > 0x7FFFFFFF ? 0x7FFFFFFF : ehi);
-  }
+  // pass 1 + fit + pass 2, threaded over leaves: each leaf is a contiguous
+  // key segment, and within a leaf the accumulation order is the serial
+  // pass's order — bit-identical results at any thread count.
+  bld::parallel_chunks(L, [&](int, int64_t lb, int64_t le) {
+    for (int64_t l = lb; l < le; ++l) {
+      const int64_t s = leaf_start[l], e = leaf_start[l + 1];
+      double s1 = 0.0, sx = 0.0, sy = 0.0, sxx = 0.0, sxy = 0.0;
+      for (int64_t i = s; i < e; ++i) {
+        double rel =
+            (double)(key_hi[i] & mask) * 4294967296.0 + (double)key_lo[i];
+        double y = (double)(i - s);
+        s1 += 1.0;
+        sx += rel;
+        sy += y;
+        sxx += rel * rel;
+        sxy += rel * y;
+      }
+      double c = s1 > 1.0 ? s1 : 1.0;
+      double var = sxx - sx * sx / c;
+      double cov = sxy - sx * sy / c;
+      double b = var > 0.0 ? cov / (var > 1e-300 ? var : 1e-300) : 0.0;
+      if (b < 0.0 || b != b || b > 1e300) b = 0.0;  // monotone + finite
+      double a = s1 > 0.0 ? (sy - b * sx) / c : 0.0;
+      if (a != a || a > 1e300 || a < -1e300) a = 0.0;
+      alpha[l] = (float)a;
+      beta[l] = (float)b;
+
+      // error window under the device's f32 arithmetic
+      int64_t over = 0, under = 0;
+      const float cnt = (float)(e - s);
+      for (int64_t i = s; i < e; ++i) {
+        float rel32 =
+            (float)(key_hi[i] & mask) * 4294967296.0f + (float)key_lo[i];
+        float predf = alpha[l] + beta[l] * rel32;
+        if (!(predf > 0.0f)) predf = 0.0f;  // NaN -> 0, matching np.clip
+        if (predf > cnt) predf = cnt;
+        int64_t pred_i = s + (int64_t)predf;
+        int64_t o = pred_i - i, u = i - pred_i;
+        if (o > over) over = o;
+        if (u > under) under = u;
+      }
+      int64_t elo = over + margin;
+      int64_t ehi = under + 1 + margin;
+      err_lo[l] = (int32_t)(elo > 0x7FFFFFFF ? 0x7FFFFFFF : elo);
+      err_hi[l] = (int32_t)(ehi > 0x7FFFFFFF ? 0x7FFFFFFF : ehi);
+    }
+  });
 }
 
 }  // extern "C"

@@ -16,11 +16,51 @@
 // indices (half the memory traffic — the dominant cost on bandwidth-bound
 // build hosts) and widen to int64 only at the output copy.
 
+// Threading (BWAMEME_BUILD_THREADS, default = hardware concurrency): the
+// type scan, bucket histogram, LMS-substring naming compares, and the
+// boundary copies are chunk-parallel with bit-identical results at any
+// thread count; the two induced-sorting scans are inherently sequential
+// (each placement depends on previously induced entries) and stay serial —
+// the same split the reference makes (its saisxx is serial; its OpenMP
+// lives in the surrounding key/ISA passes, src/Learnedindex.cpp:301).
+
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
+
+inline int build_threads() {
+  const char* e = std::getenv("BWAMEME_BUILD_THREADS");
+  if (e && *e) {
+    int v = std::atoi(e);
+    if (v >= 1) return v;
+  }
+  unsigned hc = std::thread::hardware_concurrency();
+  return hc ? (int)hc : 1;
+}
+
+// Run fn(t, begin, end) over nt roughly equal chunks of [0, n).
+template <typename F>
+void parallel_chunks(int64_t n, F fn) {
+  int nt = build_threads();
+  if (nt <= 1 || n < (int64_t)nt * 8192) {
+    fn(0, (int64_t)0, n);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(nt);
+  int64_t per = (n + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t b = (int64_t)t * per;
+    int64_t e = b + per < n ? b + per : n;
+    if (b >= e) break;
+    ts.emplace_back(fn, t, b, e);
+  }
+  for (auto& th : ts) th.join();
+}
 
 template <typename Char, typename Idx>
 struct SaisProblem {
@@ -40,15 +80,75 @@ void compute_types(const SaisProblem<Char, Idx>& p,
                    std::vector<uint8_t>& stype) {
   stype.assign(p.n, 0);
   stype[p.n - 1] = 1;  // sentinel is S
-  for (Idx i = p.n - 2; i >= 0; --i) {
-    stype[i] = (p.T[i] < p.T[i + 1]) || (p.T[i] == p.T[i + 1] && stype[i + 1]);
+  // Chunk-parallel right-to-left scan: within a chunk, a position's type is
+  // decided as soon as a character difference appears to its right; only
+  // the trailing run of characters equal to the chunk's last character
+  // chains past the boundary. Each chunk resolves its interior, records
+  // the undecided trailing-run length, and a cheap right-to-left fixup
+  // fills the runs once the boundary types are known.
+  const Idx n = p.n;
+  int nt = build_threads();
+  if (nt <= 1 || n < (Idx)(nt * 8192) || n < 2) {
+    for (Idx i = n - 2; i >= 0; --i) {
+      stype[i] =
+          (p.T[i] < p.T[i + 1]) || (p.T[i] == p.T[i + 1] && stype[i + 1]);
+    }
+    return;
+  }
+  std::vector<int64_t> pend_lo((size_t)nt, -1);  // first undecided index
+  parallel_chunks((int64_t)n - 1, [&](int t, int64_t b, int64_t e) {
+    // decide [b, e) assuming stype[e] unknown (e == n-1 is known: sentinel)
+    int64_t i = e - 1;
+    if (e == (int64_t)n - 1) {
+      // last chunk: stype[n-1] is known, run fully
+      for (; i >= b; --i) {
+        stype[i] = (p.T[i] < p.T[i + 1]) ||
+                   (p.T[i] == p.T[i + 1] && stype[i + 1]);
+      }
+      return;
+    }
+    // skip (record) the trailing equal-run that depends on stype[e]
+    while (i >= b && p.T[i] == p.T[i + 1]) --i;
+    pend_lo[t] = i + 1;  // [pend_lo, e) undecided (may be empty)
+    for (; i >= b; --i) {
+      stype[i] =
+          (p.T[i] < p.T[i + 1]) || (p.T[i] == p.T[i + 1] && stype[i + 1]);
+    }
+  });
+  // fixup: resolve pending runs right-to-left (each run copies the type at
+  // its right edge after comparing the boundary characters)
+  int64_t per = ((int64_t)n - 1 + nt - 1) / nt;
+  for (int t = nt - 1; t >= 0; --t) {
+    int64_t b = (int64_t)t * per;
+    int64_t e = b + per < (int64_t)n - 1 ? b + per : (int64_t)n - 1;
+    if (b >= e || pend_lo[t] < 0) continue;
+    for (int64_t i = e - 1; i >= pend_lo[t]; --i) {
+      stype[i] =
+          (p.T[i] < p.T[i + 1]) || (p.T[i] == p.T[i + 1] && stype[i + 1]);
+    }
   }
 }
 
 template <typename Char, typename Idx>
 void bucket_counts(const SaisProblem<Char, Idx>& p, std::vector<Idx>& cnt) {
   cnt.assign(p.K, 0);
-  for (Idx i = 0; i < p.n; ++i) cnt[p.T[i]]++;
+  int nt = build_threads();
+  // per-thread histograms pay K*nt memory: only when K is small (the hot
+  // top level is K=256; deep recursion levels with huge alphabets are tiny)
+  if (nt <= 1 || p.K > 65536 || p.n < (Idx)(nt * 8192)) {
+    for (Idx i = 0; i < p.n; ++i) cnt[p.T[i]]++;
+    return;
+  }
+  std::vector<std::vector<Idx>> local((size_t)nt);
+  parallel_chunks((int64_t)p.n, [&](int t, int64_t b, int64_t e) {
+    auto& h = local[t];
+    h.assign(p.K, 0);
+    for (int64_t i = b; i < e; ++i) h[p.T[i]]++;
+  });
+  for (auto& h : local) {
+    if (h.empty()) continue;
+    for (size_t c = 0; c < (size_t)p.K; ++c) cnt[c] += h[c];
+  }
 }
 
 template <typename Idx>
@@ -123,16 +223,19 @@ void sais_core(const SaisProblem<Char, Idx>& p, Idx* sa) {
   }
 
   // ---- Name LMS substrings ----
-  // names[i] = rank of the LMS substring starting at position i.
+  // names[i] = rank of the LMS substring starting at position i. The
+  // neighbor-difference flags are independent compares (equal substrings
+  // are transitively equal, so comparing each entry to its sorted
+  // predecessor equals the serial last-distinct-prev tracking) — threaded;
+  // the name assignment is a cheap serial prefix sum over the flags.
   std::vector<Idx> name_of(n, EMPTY);
-  Idx name = 0;
-  Idx prev = EMPTY;
-  for (Idx k = 0; k < n_lms; ++k) {
-    Idx cur = lms_sorted[k];
-    bool diff = false;
-    if (prev == EMPTY) {
-      diff = true;
-    } else {
+  std::vector<uint8_t> diff_flag(n_lms, 0);
+  if (n_lms > 0) diff_flag[0] = 1;
+  parallel_chunks((int64_t)n_lms - 1, [&](int, int64_t kb, int64_t ke) {
+    for (int64_t k1 = kb; k1 < ke; ++k1) {
+      Idx prev = lms_sorted[k1];
+      Idx cur = lms_sorted[k1 + 1];
+      bool diff = false;
       // Compare the two LMS substrings (from start to the next LMS position,
       // inclusive). Sentinel substring is just the sentinel.
       for (Idx d = 0; ; ++d) {
@@ -144,9 +247,13 @@ void sais_core(const SaisProblem<Char, Idx>& p, Idx* sa) {
           break;
         }
       }
+      diff_flag[k1 + 1] = diff ? 1 : 0;
     }
-    if (diff) { ++name; prev = cur; }
-    name_of[cur] = name - 1;
+  });
+  Idx name = 0;
+  for (Idx k = 0; k < n_lms; ++k) {
+    name += diff_flag[k];
+    name_of[lms_sorted[k]] = name - 1;
   }
 
   // Positions of LMS in text order + their names form the reduced problem.
@@ -190,7 +297,9 @@ int sais_u8(const uint8_t* text, int64_t* sa, int64_t n) {
   if (n == 0) return 0;
   // Append virtual sentinel: shift alphabet by +1 so 0 is the unique minimum.
   std::vector<uint8_t> T(n + 1);
-  for (int64_t i = 0; i < n; ++i) T[i] = static_cast<uint8_t>(text[i] + 1);
+  parallel_chunks(n, [&](int, int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; ++i) T[i] = static_cast<uint8_t>(text[i] + 1);
+  });
   T[n] = 0;
   if (n + 1 < 0x7FFFFFFFll) {
     // int32 fast path: half the index-array traffic
@@ -198,7 +307,9 @@ int sais_u8(const uint8_t* text, int64_t* sa, int64_t n) {
     SaisProblem<uint8_t, int32_t> p{T.data(), (int32_t)(n + 1), 256};
     sais_core(p, full_sa.data());
     // full_sa[0] is the sentinel position n; drop it and widen.
-    for (int64_t i = 0; i < n; ++i) sa[i] = full_sa[i + 1];
+    parallel_chunks(n, [&](int, int64_t b, int64_t e) {
+      for (int64_t i = b; i < e; ++i) sa[i] = full_sa[i + 1];
+    });
     return 0;
   }
   std::vector<int64_t> full_sa(n + 1);
