@@ -16,6 +16,7 @@ per (band-try) round — the TPU analog of the reference's SIMD-lane batching
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -495,21 +496,116 @@ def extend_flat_submit(opt, bns, queries, chain_raw, text32):
                      (128, 256, 384, 512, 1024, 2048))
         TR = _bucket(int(prep["r_tlen"][:NR].max(initial=1)),
                      (128, 256, 384, 512, 1024, 2048))
-        jobs = _pack_jobs(prep, np.arange(NL), np.full(NL, opt.w, np.int32),
-                          np.arange(NR), np.full(NR, opt.w, np.int32),
-                          NLp, NRp, Gp)
         codes_dev = jnp.asarray(codes)
         mat_dev = jnp.asarray(opt.mat.astype(np.int32))
         h0_dev = jnp.asarray(h0s)
-        left, right = fused_extend_round(
-            text32, codes_dev, mat_dev, h0_dev, jnp.asarray(jobs),
-            opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-            opt.pen_clip5, opt.pen_clip3, opt.zdrop,
-            NL=NLp, NR=NRp, Q=Q, TL=TL, TR=TR,
-        )
+        if _EXT_BUCKETS:
+            # tile-class dispatches: left classes -> on-device score
+            # scatter -> right classes (h0 chains through score_reg)
+            from bwameme_tpu.ops.banded_sw import scatter_scores
+
+            score_reg = h0_dev
+            left = _submit_side_buckets(
+                opt, prep, "l", score_reg, codes_dev, mat_dev, text32,
+                opt.pen_clip5, Gp)
+            for idx, res_dev, Np in left:
+                reg_pad = np.full(Np, Gp, np.int32)
+                reg_pad[: len(idx)] = prep["l_reg"][idx]
+                score_reg = scatter_scores(score_reg,
+                                           jnp.asarray(reg_pad), res_dev[0])
+            right = _submit_side_buckets(
+                opt, prep, "r", score_reg, codes_dev, mat_dev, text32,
+                opt.pen_clip3, Gp)
+        else:
+            jobs = _pack_jobs(prep, np.arange(NL),
+                              np.full(NL, opt.w, np.int32), np.arange(NR),
+                              np.full(NR, opt.w, np.int32), NLp, NRp, Gp)
+            left, right = fused_extend_round(
+                text32, codes_dev, mat_dev, h0_dev, jnp.asarray(jobs),
+                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                opt.pen_clip5, opt.pen_clip3, opt.zdrop,
+                NL=NLp, NR=NRp, Q=Q, TL=TL, TR=TR,
+            )
         aux = dict(text32=text32, codes_dev=codes_dev, mat_dev=mat_dev,
                    Gp=Gp, Q=Q, TL=TL, TR=TR)
     return (opt, queries, lq, chain_raw, prep, left, right, aux)
+
+
+# tile-class ladders for the per-side extension dispatches. T is the DP row
+# trip count (any value; each distinct value is one compiled program); the
+# lane dim is W = Q+2, padded by the compiler to a multiple of 128, so only
+# the W-crossing Q steps are distinct classes.
+_EXT_T_LADDER = (48, 96, 160, 256, 384, 512, 1024, 2048, 4096)
+_EXT_Q_LADDER = (126, 254, 510, 1022)
+_EXT_MIN_BUCKET = 384  # dispatch overhead floor: merge smaller classes up
+_EXT_BUCKETS = os.environ.get("BWAMEME_EXT_BUCKETS", "1") == "1"
+
+
+def _tile_partition(tlens: np.ndarray) -> list[tuple[int, np.ndarray]]:
+    """Greedy target-length classes over the T ladder; classes smaller than
+    the dispatch-overhead floor merge into the next (larger-T) class."""
+    groups: list[list] = []
+    rem = np.arange(len(tlens))
+    for cap in _EXT_T_LADDER:
+        m = tlens[rem] <= cap
+        grp, rem = rem[m], rem[~m]
+        if len(grp):
+            groups.append([cap, grp])
+        if not len(rem):
+            break
+    if len(rem):
+        raise ValueError(
+            f"extension target length {int(tlens.max())} exceeds the "
+            f"{_EXT_T_LADDER[-1]} tile ladder")
+    i = 0
+    while i < len(groups) - 1:
+        if len(groups[i][1]) < _EXT_MIN_BUCKET:
+            groups[i + 1][1] = np.concatenate([groups[i][1],
+                                               groups[i + 1][1]])
+            del groups[i]
+        else:
+            i += 1
+    if len(groups) > 1 and len(groups[-1][1]) < _EXT_MIN_BUCKET:
+        groups[-2][0] = groups[-1][0]
+        groups[-2][1] = np.concatenate([groups[-2][1], groups[-1][1]])
+        del groups[-1]
+    return [(cap, idx) for cap, idx in groups]
+
+
+def _submit_side_buckets(opt, prep, side, score_reg_dev, codes_dev, mat_dev,
+                         text32, end_bonus, Gp):
+    """Dispatch one side's jobs as per-tile-class extend_side_round calls;
+    returns [(orig_idx, res_dev, Np), ...] (device arrays un-awaited)."""
+    import jax.numpy as jnp
+
+    from bwameme_tpu.ops.banded_sw import extend_side_round
+
+    n = prep["n_left"] if side == "l" else prep["n_right"]
+    if not n:
+        return []
+    tl = np.asarray(prep[f"{side}_tlen"][:n])
+    ql = np.asarray(prep[f"{side}_qlen"][:n])
+    lane_ladder = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+    out = []
+    for cap, idx in _tile_partition(tl):
+        Np = _bucket(len(idx), lane_ladder)
+        Qb = _bucket(int(ql[idx].max(initial=1)), _EXT_Q_LADDER)
+        jobs = np.zeros((7, Np), np.int32)
+        jobs[0, :] = Gp  # pad lanes: sentinel reg (clipped h0, dropped out)
+        jobs[0, : len(idx)] = prep[f"{side}_reg"][idx]
+        jobs[1, : len(idx)] = prep[f"{side}_row"][idx]
+        if side == "r":
+            jobs[2, : len(idx)] = prep["r_qstart"][idx]
+        jobs[3, : len(idx)] = ql[idx]
+        jobs[4, : len(idx)] = prep[f"{side}_tstart"][idx].astype(np.int32)
+        jobs[5, : len(idx)] = tl[idx]
+        jobs[6, : len(idx)] = opt.w
+        res = extend_side_round(
+            text32, codes_dev, mat_dev, score_reg_dev, jnp.asarray(jobs),
+            opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, end_bonus,
+            opt.zdrop, reverse=(side == "l"), N=Np, Q=Qb, T=cap)
+        out.append((idx, res, Np))
+    return out
 
 
 def _pack_jobs(prep, l_idx, l_ws, r_idx, r_ws, NLp, NRp, Gp):
@@ -576,10 +672,24 @@ def extend_flat_finish(token) -> list[list[AlnReg]]:
     R = len(queries)
     G = prep["n_regs"]
     if G:
-        la, ra = np.asarray(left), np.asarray(right)
         nl, nr = prep["n_left"], prep["n_right"]
-        L = {k: la[i, :nl].copy() for i, k in enumerate(EXT_ROUND_ORDER)}
-        Rt = {k: ra[i, :nr].copy() for i, k in enumerate(EXT_ROUND_ORDER)}
+
+        def _assemble(side_res, n):
+            """Bucketed results (list of (idx, res_dev, Np)) or the legacy
+            single stacked array -> {field: np.ndarray[n]}."""
+            if isinstance(side_res, list):
+                out = {k: np.zeros(n, np.int32) for k in EXT_ROUND_ORDER}
+                for idx, res_dev, _Np in side_res:
+                    arr = np.asarray(res_dev)
+                    for i, k in enumerate(EXT_ROUND_ORDER):
+                        out[k][idx] = arr[i, : len(idx)]
+                return out
+            arr = np.asarray(side_res)
+            return {k: arr[i, :n].copy()
+                    for i, k in enumerate(EXT_ROUND_ORDER)}
+
+        L = _assemble(left, nl)
+        Rt = _assemble(right, nr)
         w0 = opt.w
         thr = (w0 >> 1) + (w0 >> 2)
         # round-1 retry predicate (left prev is -1, so only max_off gates)

@@ -433,6 +433,48 @@ def fused_extend_round(
     return stk(lres, l_ws, h0l), stk(rres, r_ws, h0r)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("o_del", "e_del", "o_ins", "e_ins", "end_bonus",
+                     "zdrop", "reverse", "N", "Q", "T"),
+)
+def extend_side_round(
+    text32: jax.Array, codes: jax.Array, mat: jax.Array,
+    score_reg: jax.Array,   # (Gp,) int32 per-alnreg h0 source
+    jobs: jax.Array,        # (7, P) int32: reg,row,qstart,qlen,tstart,tlen,ws
+    o_del: int, e_del: int, o_ins: int, e_ins: int,
+    end_bonus: int, zdrop: int, reverse: bool, N: int, Q: int, T: int,
+):
+    """ONE side, ONE (Q, T) tile class. The whole-batch single dispatch
+    (fused_extend_round) pads every job to the batch-max tile; extension
+    jobs are wildly non-uniform (a seed covering most of the read leaves
+    a few-base extension, while a chain edge can need qlen+w rows), so the
+    production path sorts jobs by target length and dispatches per tile
+    class — the TPU analog of the reference's lane-occupancy length sort
+    (src/bandedSWA.cpp:1909 sortPairsLen + the 8/16-bit class split at
+    src/bwamem.cpp:2804-2812). h0 is gathered per job from score_reg so
+    right-side rounds chain from the left scores entirely on device."""
+    codes = codes.astype(jnp.int32)
+    reg, row, qstart, qlen, tstart, tlen, ws = (jobs[i, :N]
+                                                for i in range(7))
+    q = _gather_query(codes, row, qstart, qlen, reverse, Q)
+    t = _decode_text(text32, tstart, tlen, reverse, T)
+    h0 = jnp.take(score_reg, reg, mode="clip")
+    res = _sw_core(q, t, qlen, tlen, h0, ws, mat,
+                   o_del, e_del, o_ins, e_ins, end_bonus, zdrop)
+    return jnp.stack([res["score"], res["qle"], res["tle"], res["gtle"],
+                      res["gscore"], res["max_off"], ws, h0])
+
+
+@jax.jit
+def scatter_scores(score_reg: jax.Array, reg_idx: jax.Array,
+                   scores: jax.Array):
+    """score_reg[reg_idx] = scores (pad lanes carry an out-of-range index
+    and are dropped) — folds a left bucket's scores into the per-alnreg
+    score table the right-side rounds draw h0 from."""
+    return score_reg.at[reg_idx].set(scores, mode="drop")
+
+
 def extend_pairs_np(pairs, mat, o_del, e_del, o_ins, e_ins, end_bonus, zdrop,
                     q_tile=128, t_tile=256):
     """Convenience host wrapper: run a list of (query, target, h0, w) pairs
