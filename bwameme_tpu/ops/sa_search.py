@@ -393,7 +393,8 @@ def compare_keys(khi, klo, skhi, sklo, v, need_lcp=True):
 
 
 def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
-                    root: str = "prmi", mesh=None, shard_axis: str = "idx"):
+                    root: str = "prmi", mesh=None, shard_axis: str = "idx",
+                    max_width: int | None = None):
     """Build jitted search primitives for a device index.
 
     Every public fn takes the DeviceIndex (a pytree of device arrays) as its
@@ -434,13 +435,17 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
     # pivot) into a ctx so probe rounds do ZERO query-buffer gathers
     n_deep = max(0, -(-(max_read_words * 16 - 48) // 64))
     n_ctx_words = 3 + 4 * n_deep
-    if root == "kmer":
-        tab = np.asarray(di.kmer_table)
-        max_width = int(np.max(tab[1:] - tab[:-1])) if len(tab) > 1 else 1
-    else:
-        p_host = np.asarray(di.params)
-        max_width = int(np.max(p_host[:, 4].astype(np.int64)
-                               + p_host[:, 5].astype(np.int64)))
+    if max_width is None:
+        # fallback: read the window bound off the device plane. Callers
+        # that hold the host index pass max_width instead — this download
+        # is hundreds of MB at human-scale leaf counts on a thin link.
+        if root == "kmer":
+            tab = np.asarray(di.kmer_table)
+            max_width = int(np.max(tab[1:] - tab[:-1])) if len(tab) > 1 else 1
+        else:
+            p_host = np.asarray(di.params)
+            max_width = int(np.max(p_host[:, 4].astype(np.int64)
+                                   + p_host[:, 5].astype(np.int64)))
     # exact: a lower_bound over an exclusive window of width W converges in
     # ceil(log2(W+1)) halving rounds (verified exhaustively in tests)
     lb_rounds = max(1, int(np.ceil(np.log2(max_width + 1))) if max_width else 1)

@@ -58,6 +58,15 @@ class DeviceSeedingEngine:
         self.root = root
         self.mesh = mesh
         self.index_axis = index_axis
+        if root == "kmer":
+            # window bound for the fixed-round search, computed host-side
+            # (reading it back off the device table costs a big transfer)
+            from bwameme_tpu.index.ert import build_kmer_table, pick_ert_bits
+
+            kb = ert_bits if ert_bits > 0 else pick_ert_bits(idx.n_sa)
+            tab = build_kmer_table(idx.key_hi, kb)
+            self._kmer_max_width = (int(np.max(tab[1:] - tab[:-1]))
+                                    if len(tab) > 1 else 1)
         self.di = DeviceIndex.from_host(
             idx, ert_bits=(ert_bits if root == "kmer" else None),
             mesh=mesh, shard_axis=index_axis, mode=mode, wide=wide)
@@ -115,9 +124,19 @@ class DeviceSeedingEngine:
         assert bucket <= 1023, "packed transfer requires max_read_len <= 1023"
         tier = self._tiers.get(bucket)
         if tier is None:
+            # window bound from the HOST index (a device->host params read
+            # is hundreds of MB at human-scale leaf counts)
+            if self.root == "kmer":
+                mw = None  # ert root: table widths live on the device plane
+                if getattr(self, "_kmer_max_width", None) is not None:
+                    mw = self._kmer_max_width
+            else:
+                mw = int(max(np.max(
+                    np.asarray(self.idx.rmi_err_lo, np.int64)
+                    + np.asarray(self.idx.rmi_err_hi, np.int64)), 1))
             self.fns = make_search_fns(
                 self.di, max_read_words=-(-bucket // 16), root=self.root,
-                mesh=self.mesh, shard_axis=self.index_axis)
+                mesh=self.mesh, shard_axis=self.index_axis, max_width=mw)
             tier = (self.fns, self._build_third_round(),
                     self._build_fused_step1(), self._build_fused_step2b(),
                     self._build_fused_step3())
