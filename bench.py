@@ -70,7 +70,11 @@ def get_index():
         code=code,
     )
     t0 = time.time()
-    idx = build_index(bns)
+    # past ~500 Mbp cap the P-RMI at 2^26 leaves: the fused 24 B leaf rows
+    # must share one chip's 16 GB HBM with the 4 B/suffix mode-1 SA plane
+    # (2^28 leaves = 6.4 GB of params — fine on CPU hosts, not next to an
+    # 8 GB SA plane on a v5e); ~30 keys/leaf costs one extra probe round
+    idx = build_index(bns, rmi_bits=(26 if REF_MBP >= 500 else None))
     print(f"# index build: {time.time()-t0:.1f}s "
           f"(n_sa={idx.n_sa}, rmi_bits={idx.rmi_bits}, max_err={idx.max_err})",
           file=sys.stderr)

@@ -745,9 +745,10 @@ def dedup_batch_native(opt, bns, text, recs, regs_per_read):
     return out
 
 
-def build_mode4_rows_native(sa, key_hi, key_lo, isa):
+def build_mode4_rows_native(sa, key_hi, key_lo, isa, wide=False):
     """Fused MODE-4 row assembly (rkm, k64) in one C++ pass; None when the
-    native library is unavailable (caller uses the numpy fallback)."""
+    native library is unavailable (caller uses the numpy fallback). Wide
+    rank rows are (N,5): (pos_lo, pos_hi, key_hi, key_lo, b48)."""
     lib = _load()
     if lib is None:
         return None
@@ -755,7 +756,8 @@ def build_mode4_rows_native(sa, key_hi, key_lo, isa):
         u32p = ctypes.POINTER(ctypes.c_uint32)
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.build_mode4_rows_c.argtypes = [
-            ctypes.c_int64, i64p, u32p, u32p, i64p, u32p, u32p]
+            ctypes.c_int64, i64p, u32p, u32p, i64p, u32p, u32p,
+            ctypes.c_int32]
         lib.build_mode4_rows_c.restype = None
         lib._m4_sig = True
     n = len(sa)
@@ -763,10 +765,11 @@ def build_mode4_rows_native(sa, key_hi, key_lo, isa):
     isa = np.ascontiguousarray(isa, np.int64)
     key_hi = np.ascontiguousarray(key_hi, np.uint32)
     key_lo = np.ascontiguousarray(key_lo, np.uint32)
-    rkm = np.empty((n, 4), np.uint32)
+    rkm = np.empty((n, 5 if wide else 4), np.uint32)
     k64 = np.empty((n, 4), np.uint32)
     lib.build_mode4_rows_c(
         n, _p(sa, ctypes.c_int64), _p(key_hi, ctypes.c_uint32),
         _p(key_lo, ctypes.c_uint32), _p(isa, ctypes.c_int64),
-        _p(rkm, ctypes.c_uint32), _p(k64, ctypes.c_uint32))
+        _p(rkm, ctypes.c_uint32), _p(k64, ctypes.c_uint32),
+        ctypes.c_int32(1 if wide else 0))
     return rkm, k64

@@ -65,7 +65,9 @@ class DeviceIndex:
     rk: jax.Array | None = None    # uint32[N,4] MODE-4 fused rank rows:
     #                          (sa[r], key_hi[r], key_lo[r], bases 32..48) —
     #                          one 16-byte gather yields the suffix position
-    #                          AND the first 48 bases of every probe
+    #                          AND the first 48 bases of every probe; wide
+    #                          indexes widen to uint32[N,5]:
+    #                          (pos_lo, pos_hi, key_hi, key_lo, b48), 20 B
     kt64: jax.Array | None = None  # uint32[N,4] MODE-4 text-position rows:
     #                          kt64[p] = 64 bases of text at p (two stacked
     #                          32-base keys) — deep compares cost ONE 16-byte
@@ -109,9 +111,11 @@ class DeviceIndex:
 
         wide selects int64 device coordinates (ranks AND text positions):
         required for texts past 2^31 suffixes (human text+RC = 6.2e9); auto
-        when n_sa >= 2^31. Wide mode needs jax_enable_x64 and runs modes
-        1-3 (mode 4's fused uint32 rows cap positions at 2^32); leaf
-        windows come from the int64 params64 records."""
+        when n_sa >= 2^31. Wide mode needs jax_enable_x64; leaf windows
+        come from the int64 params64 plane, and mode-4 rank rows widen to
+        20 B — (pos_lo, pos_hi, key_hi, key_lo, b48) — still one row
+        gather per probe (auto stays mode 3 wide: 36 B/suffix only pays
+        when the mesh has HBM to spare)."""
         def _fuse_rmi_params(idx):
             """(L, 6) uint32 leaf records: one 24-byte row gather yields the
             whole window computation's inputs (leaf_start, leaf_end,
@@ -190,10 +194,6 @@ class DeviceIndex:
                              and not wide) else 3
             else:
                 mode = 2
-        if wide and mode == 4:
-            raise ValueError(
-                "mode 4's fused uint32 rank rows cap positions at 2^32; "
-                "wide indexes run modes 1-3 (mode 3 recommended)")
         rk = kt64 = ktext = key2 = None
         if mode == 4:
             assert idx.isa is not None, "mode 4 (rk/kt64) needs the ISA"
@@ -201,7 +201,7 @@ class DeviceIndex:
             from bwameme_tpu.align.native import build_mode4_rows_native
 
             nat = build_mode4_rows_native(idx.sa, idx.key_hi, idx.key_lo,
-                                          idx.isa)
+                                          idx.isa, wide=wide)
             if nat is not None:
                 rkm, k64 = nat
             else:
@@ -213,13 +213,21 @@ class DeviceIndex:
                 k64[:-32, 2] = kh_t[32:]
                 k64[:-32, 3] = kl_t[32:]
                 k64[-32:, 2:] = 0xFFFFFFFF  # past the padded text: all-T
-                rkm = np.empty((n, 4), np.uint32)
-                rkm[:, 0] = np.asarray(idx.sa, np.int64).astype(np.uint32)
-                rkm[:, 1] = idx.key_hi
-                rkm[:, 2] = idx.key_lo
-                nxt = np.asarray(idx.sa, np.int64) + 32
-                rkm[:, 3] = np.where(nxt < n, kh_t[np.minimum(nxt, n - 1)],
-                                     np.uint32(0xFFFFFFFF))
+                # wide rank rows carry the position as two uint32 words
+                # (lo, hi) ahead of the 48 key bases — 20 B, still ONE
+                # row gather per probe; narrow rows keep the 16 B layout
+                pos = np.asarray(idx.sa, np.int64)
+                kw = 2 if wide else 1
+                rkm = np.empty((n, kw + 3), np.uint32)
+                rkm[:, 0] = (pos & np.int64(0xFFFFFFFF)).astype(np.uint32)
+                if wide:
+                    rkm[:, 1] = (pos >> np.int64(32)).astype(np.uint32)
+                rkm[:, kw] = idx.key_hi
+                rkm[:, kw + 1] = idx.key_lo
+                nxt = pos + 32
+                rkm[:, kw + 2] = np.where(nxt < n,
+                                          kh_t[np.minimum(nxt, n - 1)],
+                                          np.uint32(0xFFFFFFFF))
             kt64 = put_shard(k64)
             rk = put_shard(rkm)
         elif mode == 3:
@@ -725,10 +733,17 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             16-byte row gather, measured 2026-08). Identical results by
             construction: resolved lanes keep their values either way."""
             idx = jnp.clip(sa_idx, 0, n_sa - 1)
-            r0 = rk_at(idx)                                     # (..., 4)
-            sa_pos = r0[..., 0].astype(jnp.int32)
+            r0 = rk_at(idx)                               # (..., 4) / (..., 5)
+            if wide:
+                # wide rows: (pos_lo, pos_hi, key_hi, key_lo, b48)
+                sa_pos = ((r0[..., 1].astype(jnp.int64) << 32)
+                          | r0[..., 0].astype(jnp.int64))
+                kw = 2
+            else:
+                sa_pos = r0[..., 0].astype(jnp.int32)
+                kw = 1
             less, l48 = _multiword_cmp(
-                [r0[..., 1], r0[..., 2], r0[..., 3]],
+                [r0[..., kw], r0[..., kw + 1], r0[..., kw + 2]],
                 [aw[:, 0], aw[:, 1], aw[:, 2]], 48)
             vc = jnp.clip(v, 0, 48)
             diffb = l48 < vc

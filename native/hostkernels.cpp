@@ -2714,7 +2714,7 @@ extern "C" {
 
 void build_mode4_rows_c(int64_t n, const int64_t* sa, const uint32_t* khi,
                         const uint32_t* klo, const int64_t* isa,
-                        uint32_t* rkm, uint32_t* k64) {
+                        uint32_t* rkm, uint32_t* k64, int32_t wide) {
   for (int64_t p = 0; p < n; ++p) {
     uint32_t* row = k64 + 4 * p;
     int64_t r = isa[p];
@@ -2729,14 +2729,18 @@ void build_mode4_rows_c(int64_t n, const int64_t* sa, const uint32_t* khi,
       row[3] = 0xFFFFFFFFu;
     }
   }
+  // wide (>2^31-suffix texts): 5-word rows (pos_lo, pos_hi, khi, klo, b48)
+  const int64_t rw = wide ? 5 : 4;
+  const int64_t kw = wide ? 2 : 1;
   for (int64_t r = 0; r < n; ++r) {
-    uint32_t* row = rkm + 4 * r;
+    uint32_t* row = rkm + rw * r;
     int64_t pos = sa[r];
     row[0] = (uint32_t)pos;
-    row[1] = khi[r];
-    row[2] = klo[r];
+    if (wide) row[1] = (uint32_t)(pos >> 32);
+    row[kw] = khi[r];
+    row[kw + 1] = klo[r];
     int64_t nxt = pos + 32;
-    row[3] = nxt < n ? khi[isa[nxt]] : 0xFFFFFFFFu;
+    row[kw + 2] = nxt < n ? khi[isa[nxt]] : 0xFFFFFFFFu;
   }
 }
 

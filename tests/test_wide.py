@@ -58,23 +58,29 @@ def _smems(eng, reads):
             for sm in eng.sorted_smems_batch(reads)]
 
 
-@pytest.mark.parametrize("mode", [1, 2, 3])
+@pytest.mark.parametrize("mode", [1, 2, 3, 4])
 def test_wide_matches_int32_single_device(small, mode):
     idx, opt, reads = small
     base = DeviceSeedingEngine(idx, opt, mode=mode)
     wide = DeviceSeedingEngine(idx, opt, mode=mode, wide=True)
-    assert wide.di.wide and wide.di.sa.dtype == np.int64
+    assert wide.di.wide
+    if mode == 4:
+        # mode 4 carries positions inside the 5-word rank rows
+        assert wide.di.sa is None and wide.di.rk.shape[1] == 5
+    else:
+        assert wide.di.sa.dtype == np.int64
     assert _smems(base, reads) == _smems(wide, reads)
 
 
-def test_wide_matches_host_oracle_on_mesh(small):
+@pytest.mark.parametrize("mode", [3, 4])
+def test_wide_matches_host_oracle_on_mesh(small, mode):
     import jax
     from jax.sharding import Mesh
 
     idx, opt, reads = small
     host = HostSeedingEngine(idx, opt)
     mesh = Mesh(np.array(jax.devices()[:4]), ("idx",))
-    wide = DeviceSeedingEngine(idx, opt, mode=3, wide=True, mesh=mesh,
+    wide = DeviceSeedingEngine(idx, opt, mode=mode, wide=True, mesh=mesh,
                                lanes=256)
     got = _smems(wide, reads)
     want = [[(s.start, s.end, s.sa_lo, s.hitcount) for s in
