@@ -378,6 +378,20 @@ def cmd_mem(args) -> int:
 
             with np.load(args.prefix + ".ert.npz") as z:
                 ert_bits = int(z["kmer_bits"])
+        if os.path.exists(args.prefix + ".kmer_table"):
+            # a reference-built ERT root (src/ertindex.cpp:823-914): its
+            # interval payload is `.mlt_table` byte offsets (inapplicable —
+            # the sorted key planes ARE our radix trees), but its k-mer
+            # class/hit/LEP content must agree with this index; check it
+            from bwameme_tpu.index.ert import (load_kmer_table,
+                                               validate_reference_kmer_table)
+
+            st = validate_reference_kmer_table(
+                idx.key_hi, load_kmer_table(args.prefix + ".kmer_table"))
+            print(f"[mem] reference .kmer_table validated: "
+                  f"{st['present_checked']} present + "
+                  f"{st['uniform_checked']} uniform k-mers, "
+                  f"{st['mismatches']} mismatches", file=sys.stderr)
         if dp_mesh is not None:
             # each dp row sees 1/dp of every chunk
             row_lanes = -(-args.batch // args.dp_shards)

@@ -42,6 +42,88 @@ def test_kmer_table_boundaries(small):
     assert 2 <= pick_ert_bits(idx.n_sa) <= 15
 
 
+def test_kmer_entry_codec():
+    from bwameme_tpu.index.ert import decode_kmer_entries, encode_kmer_entries
+
+    rng = np.random.default_rng(3)
+    typ = rng.integers(0, 4, 64).astype(np.uint8)
+    lep = rng.integers(0, 1 << 14, 64).astype(np.uint16)
+    hits = rng.integers(0, 20, 64).astype(np.uint8)
+    ptrw = rng.integers(0, 4, 64).astype(np.uint8)
+    off = rng.integers(0, 1 << 40, 64).astype(np.int64)
+    e = encode_kmer_entries(typ, lep, hits, ptrw, off)
+    t2, l2, h2, p2, o2 = decode_kmer_entries(e)
+    assert (t2 == typ).all() and (l2 == lep).all() and (h2 == hits).all()
+    assert (p2 == ptrw).all() and (o2 == off).all()
+
+
+def test_kmer_table_reference_interchange(small, tmp_path):
+    """Round-trip the reference `.kmer_table` layout and check the decoded
+    class/hit/LEP semantics against a brute-force oracle that never touches
+    the key plane (padded suffixes enumerated straight from the text)."""
+    from bwameme_tpu.index.ert import (REF_KMER_K, REF_NUM_KMERS,
+                                       decode_kmer_entries,
+                                       kmer_classes_from_planes,
+                                       load_kmer_table, ref_kmer_id_from_be,
+                                       validate_reference_kmer_table,
+                                       write_kmer_table)
+
+    idx, opt, code, rng = small
+    path = str(tmp_path / "toy.kmer_table")
+    n_written = write_kmer_table(idx.key_hi, path)
+    assert n_written > 0
+    import os
+
+    assert os.path.getsize(path) == REF_NUM_KMERS * 8
+    tab = load_kmer_table(path)
+    st = validate_reference_kmer_table(idx.key_hi, tab, sample=4096)
+    assert st["mismatches"] == 0
+
+    # brute-force oracle: 15-base (T-padded) window of every suffix of the
+    # doubled text, counts at every prefix depth, reference LEP walk
+    text = idx.text  # fwd+RC, uint8 codes
+    n = len(text)
+    pad = np.concatenate([text, np.full(REF_KMER_K, 3, np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(
+        pad, REF_KMER_K)[:n]  # (n, 15)
+    shift = np.uint32(32 - 2 * REF_KMER_K)
+    some_present = np.unique(
+        (idx.key_hi[rng.integers(0, n, 50)] >> shift).astype(np.int64))
+    some_absent = rng.integers(0, REF_NUM_KMERS, 16, dtype=np.int64)
+    for be in np.concatenate([some_present, some_absent]):
+        q = np.array([(be >> 2 * (REF_KMER_K - 1 - j)) & 3
+                      for j in range(REF_KMER_K)], np.uint8)
+        match = win == q  # (n, 15)
+        counts = [int(np.all(match[:, : d + 1], axis=1).sum())
+                  for d in range(REF_KMER_K)]
+        lep, prev, alive = 0, counts[0], counts[0] > 0
+        for d in range(1, REF_KMER_K):
+            if not alive:
+                break
+            if counts[d] != prev:
+                lep |= 1 << (d - 1)
+            if counts[d] == 0:
+                alive = False
+            else:
+                prev = counts[d]
+        full = counts[-1] if alive else 0
+        want_typ = 0 if full == 0 else (1 if full == 1 else
+                                        (2 if full <= 256 else 3))
+        g_typ, g_lep, g_hits, _, _ = decode_kmer_entries(
+            np.asarray(tab[ref_kmer_id_from_be(np.array([be]))]))
+        if want_typ == 0:
+            # sparse export zeroes absent slots (partial LEP dropped)
+            assert int(g_typ[0]) == 0
+        else:
+            assert (int(g_typ[0]), int(g_lep[0]), int(g_hits[0])) == \
+                   (want_typ, lep, full if full < 20 else 0), be
+        w_typ, w_lep, w_hits, w_full = kmer_classes_from_planes(
+            idx.key_hi, np.array([be]))
+        assert int(w_typ[0]) == want_typ and int(w_full[0]) == full
+        if want_typ:
+            assert int(w_lep[0]) == lep
+
+
 def test_ert_engine_matches_host_oracle(small):
     idx, opt, code, rng = small
     host = HostSeedingEngine(idx, opt)
