@@ -17,6 +17,7 @@ hard failure (exit 1), not a quiet slowdown — see utils/fallbacks.py.
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -45,6 +46,20 @@ READ_LEN = 151
 # 8192 is flat) — see tools/profile_seed.py
 BATCH = int(os.environ.get("BWAMEME_BENCH_BATCH", "4096"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+# committed baseline/stash fallbacks: .bench_cache is gitignored and the
+# workspace can be reset between driver rounds (r3 lost r2's baseline and
+# re-measured inline -> rc=124). Small JSONs are committed here instead.
+BASELINES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "baselines")
+# hard wall-clock budget: optional stages are skipped (visibly) when the
+# remaining budget can't fit them, so the ONE JSON line always prints
+# before any driver timeout (VERDICT r3 weak #1: rc=124, parsed=null)
+BUDGET = float(os.environ.get("BWAMEME_BENCH_BUDGET", "780"))
+T_START = time.time()
+
+
+def _remaining():
+    return BUDGET - (time.time() - T_START)
 
 
 def get_index():
@@ -127,28 +142,38 @@ def _log(msg):
 
 def reference_baseline():
     """Reference binary's throughput on this host's CPU over the same
-    workload (tools/bench_reference.py). Returns the cached dict or None."""
-    path = os.path.join(CACHE, f"ref_baseline_{int(REF_MBP)}mbp.json")
-    if not os.path.exists(path):
+    workload (tools/bench_reference.py). Resolution order: the local
+    measurement cache, then the COMMITTED copy in tools/baselines/ (the
+    cache is gitignored and workspaces reset between rounds — r3 lost the
+    r2 baseline and died re-measuring it inline). Measuring is only done
+    here when BWAMEME_BENCH_REFRESH=1 AND the remaining budget allows:
+    a driver bench run must never build/measure the reference binary."""
+    name = f"ref_baseline_{int(REF_MBP)}mbp.json"
+    cached = os.path.join(CACHE, name)
+    committed = os.path.join(BASELINES, name)
+    if (not os.path.exists(cached)
+            and os.environ.get("BWAMEME_BENCH_REFRESH") == "1"
+            and _remaining() > 600):
         import subprocess
 
-        _log("no reference baseline cached; measuring (builds the "
-             "reference binary on first use — minutes)")
+        _log("BWAMEME_BENCH_REFRESH=1: measuring the reference baseline "
+             "(builds the reference binary on first use — minutes)")
         tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "tools", "bench_reference.py")
         try:
             env = dict(os.environ, BWAMEME_BENCH_MBP=str(int(REF_MBP)),
                        BWAMEME_BENCH_READS=str(N_READS))
-            subprocess.run([sys.executable, tool], check=True, timeout=3600,
-                           env=env)
+            subprocess.run([sys.executable, tool], check=True,
+                           timeout=max(60, _remaining() - 30), env=env)
         except Exception as e:  # no toolchain / build failure: fall back
-            _log(f"reference baseline unavailable: {e}")
-            return None
-    try:
-        with open(path) as f:
-            return json.load(f)
-    except OSError:
-        return None
+            _log(f"reference baseline refresh failed: {e}")
+    for path in (cached, committed):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except OSError:
+            continue
+    return None
 
 
 def main():
@@ -242,55 +267,7 @@ def main():
               file=sys.stderr)
         sys.exit(1)
 
-    # ---- end-to-end (seed -> chain -> extend -> finalize -> SAM) ----
-    # An aligner is judged on e2e, not seeding alone (reference's second
-    # headline: 1.4x e2e, README.md:7). Same reads, production pipeline.
-    from bwameme_tpu.io.fastq import Read
-    from bwameme_tpu.pipeline import Aligner
-
-    chars = np.frombuffer(b"ACGT", np.uint8)
-
-    def to_read(tag, i, c):
-        return Read(name=f"{tag}{i}", seq=chars[c].tobytes().decode(),
-                    qual="I" * len(c), comment=None)
-
-    read_objs = [to_read("b", i, c) for i, c in enumerate(reads)]
-    al = Aligner(idx, opt, seeding_engine=eng)
-    batches = [read_objs[i: i + BATCH]
-               for i in range(0, len(read_objs), BATCH)]
-    _log("e2e SE warmup (extension/finalize compiles)")
-    t0 = time.time()
-    n_rec = sum(len(s) for s in al.align_stream(iter(batches[:1])))
-    print(f"# e2e warmup+compile: {time.time()-t0:.1f}s", file=sys.stderr)
-    t0 = time.time()
-    n_rec = 0
-    for sam in al.align_stream(iter(batches)):
-        n_rec += len(sam)
-    dt = time.time() - t0
-    e2e_se_rps = len(read_objs) / dt
-    print(f"# e2e SE: {len(read_objs)} reads in {dt:.2f}s "
-          f"({e2e_se_rps:.0f} reads/s), {n_rec} records", file=sys.stderr)
-
-    pair_objs = [to_read("p", i >> 1, c)
-                 for i, c in enumerate(make_pairs(idx,
-                                                  np.random.default_rng(13)))]
-    _log("e2e PE warmup (rescue/pairing compiles)")
-    t0 = time.time()
-    al.align_pairs(pair_objs)
-    print(f"# e2e PE warmup+compile: {time.time()-t0:.1f}s", file=sys.stderr)
-    t0 = time.time()
-    sam_pe = al.align_pairs(pair_objs)
-    dt = time.time() - t0
-    e2e_pe_rps = len(pair_objs) / dt
-    print(f"# e2e PE: {len(pair_objs)} reads in {dt:.2f}s "
-          f"({e2e_pe_rps:.0f} reads/s), {len(sam_pe)} records",
-          file=sys.stderr)
-
-    if fallbacks.total():
-        print(f"# FAIL: fused paths fell back during e2e: "
-              f"{fallbacks.summary()}", file=sys.stderr)
-        sys.exit(1)
-
+    # baseline ratios resolve from committed/cached JSON (cheap file read)
     ref = reference_baseline()
     if ref and ref.get("seeding_rps"):
         base_rps = float(ref["seeding_rps"])
@@ -315,31 +292,103 @@ def main():
         "vs_baseline": round(device_rps / max(base_rps, 1e-9), 2),
         "baseline": note,
     }
-    # e2e records, each vs the reference FM backend (the BWA-MEM2-
-    # equivalent yardstick both reference headlines are measured against)
-    # and, when measured, vs the reference's own learned -7 path ("meme")
-    # running on our exported index (tools/bench_reference.py)
+
     def _vs(v, key):
         b = ref.get(key) if ref else None
         return round(v / float(b), 2) if b else None
 
-    out["e2e_se"] = {"value": round(e2e_se_rps, 1), "unit": "reads/s/chip",
-                     "vs_baseline": _vs(e2e_se_rps, "e2e_rps"),
-                     "vs_meme": _vs(e2e_se_rps, "learned_e2e_rps")}
-    out["e2e_pe"] = {"value": round(e2e_pe_rps, 1), "unit": "reads/s/chip",
-                     "vs_baseline": _vs(e2e_pe_rps, "e2e_pe_rps"),
-                     "vs_meme": _vs(e2e_pe_rps, "learned_e2e_pe_rps")}
     if ref and ref.get("learned_seedchain_rps"):
         out["vs_meme_seeding"] = round(
             device_rps / float(ref["learned_seedchain_rps"]), 2)
     if degraded:
         out["degraded"] = degraded
+
+    # the headline metric exists from here on: guarantee it reaches stdout
+    # even if a driver timeout SIGTERMs us mid-e2e (rc stays nonzero but
+    # the JSON line is in the output either way)
+    def _emit_and_die(signum, frame):
+        print(f"# SIGTERM at {time.time()-T_START:.0f}s — emitting the "
+              "metrics measured so far", file=sys.stderr, flush=True)
+        out["truncated"] = "SIGTERM"
+        print(json.dumps(out), flush=True)
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, _emit_and_die)
+
+    # ---- end-to-end (seed -> chain -> extend -> finalize -> SAM) ----
+    # An aligner is judged on e2e, not seeding alone (reference's second
+    # headline: 1.4x e2e, README.md:7). Same reads, production pipeline.
+    # Each e2e block is budget-gated so the JSON always prints in time.
+    from bwameme_tpu.io.fastq import Read
+    from bwameme_tpu.pipeline import Aligner
+
+    chars = np.frombuffer(b"ACGT", np.uint8)
+
+    def to_read(tag, i, c):
+        return Read(name=f"{tag}{i}", seq=chars[c].tobytes().decode(),
+                    qual="I" * len(c), comment=None)
+
+    if _remaining() > 150:
+        read_objs = [to_read("b", i, c) for i, c in enumerate(reads)]
+        al = Aligner(idx, opt, seeding_engine=eng)
+        batches = [read_objs[i: i + BATCH]
+                   for i in range(0, len(read_objs), BATCH)]
+        _log("e2e SE warmup (extension/finalize compiles)")
+        t0 = time.time()
+        n_rec = sum(len(s) for s in al.align_stream(iter(batches[:1])))
+        print(f"# e2e warmup+compile: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        n_rec = 0
+        for sam in al.align_stream(iter(batches)):
+            n_rec += len(sam)
+        dt = time.time() - t0
+        e2e_se_rps = len(read_objs) / dt
+        print(f"# e2e SE: {len(read_objs)} reads in {dt:.2f}s "
+              f"({e2e_se_rps:.0f} reads/s), {n_rec} records",
+              file=sys.stderr)
+        out["e2e_se"] = {"value": round(e2e_se_rps, 1),
+                         "unit": "reads/s/chip",
+                         "vs_baseline": _vs(e2e_se_rps, "e2e_rps"),
+                         "vs_meme": _vs(e2e_se_rps, "learned_e2e_rps")}
+    else:
+        _log(f"skipping e2e SE ({_remaining():.0f}s left of {BUDGET:.0f})")
+        out["truncated"] = "budget: e2e skipped"
+
+    if "e2e_se" in out and _remaining() > 120:
+        pair_objs = [to_read("p", i >> 1, c)
+                     for i, c in enumerate(
+                         make_pairs(idx, np.random.default_rng(13)))]
+        _log("e2e PE warmup (rescue/pairing compiles)")
+        t0 = time.time()
+        al.align_pairs(pair_objs)
+        print(f"# e2e PE warmup+compile: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        sam_pe = al.align_pairs(pair_objs)
+        dt = time.time() - t0
+        e2e_pe_rps = len(pair_objs) / dt
+        print(f"# e2e PE: {len(pair_objs)} reads in {dt:.2f}s "
+              f"({e2e_pe_rps:.0f} reads/s), {len(sam_pe)} records",
+              file=sys.stderr)
+        out["e2e_pe"] = {"value": round(e2e_pe_rps, 1),
+                         "unit": "reads/s/chip",
+                         "vs_baseline": _vs(e2e_pe_rps, "e2e_pe_rps"),
+                         "vs_meme": _vs(e2e_pe_rps, "learned_e2e_pe_rps")}
+    elif "e2e_se" in out:
+        _log(f"skipping e2e PE ({_remaining():.0f}s left of {BUDGET:.0f})")
+        out["truncated"] = "budget: e2e PE skipped"
+
+    if fallbacks.total():
+        print(f"# FAIL: fused paths fell back during e2e: "
+              f"{fallbacks.summary()}", file=sys.stderr)
+        sys.exit(1)
     # scale record: runs at other index sizes stash their result so the
     # default-size run carries the genome-scale ratio too (the reference's
     # raison d'être is big indexes; CPU caches flatter it at toy sizes)
     rec = {"mbp": REF_MBP, "value": out["value"],
            "vs_baseline": out["vs_baseline"], "baseline": note,
-           "e2e_se": out["e2e_se"], "e2e_pe": out["e2e_pe"]}
+           "e2e_se": out.get("e2e_se"), "e2e_pe": out.get("e2e_pe")}
     try:
         import subprocess as sp
 
@@ -358,14 +407,16 @@ def main():
     for other in (1000, 100, 8):
         if other == int(REF_MBP):
             continue
-        p = os.path.join(CACHE, f"last_{other}mbp.json")
-        if os.path.exists(p):
-            try:
-                with open(p) as f:
-                    out[f"at_{other}mbp"] = json.load(f)
-            except OSError:
-                pass
-    print(json.dumps(out))
+        for d in (CACHE, BASELINES):
+            p = os.path.join(d, f"last_{other}mbp.json")
+            if os.path.exists(p):
+                try:
+                    with open(p) as f:
+                        out[f"at_{other}mbp"] = json.load(f)
+                    break
+                except OSError:
+                    pass
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

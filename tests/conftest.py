@@ -39,7 +39,32 @@ try:  # persistent compile cache: the big fused programs compile once
 except Exception:
     pass
 
+import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def par_workload():
+    """Shared multi-device workload: (idx, se_reads, pe_reads) — see
+    parallel/dryrun._build_workload (used by test_parallel*.py)."""
+    from bwameme_tpu.parallel.dryrun import _build_workload
+
+    return _build_workload(np.random.default_rng(0))
+
+
+@pytest.fixture(scope="session")
+def par_oracle(par_workload):
+    """Single-device host-engine SAMs: (sam_se, sam_pe, opt, opt_pe)."""
+    from bwameme_tpu.pipeline import Aligner
+    from bwameme_tpu.utils.config import MemOptions
+
+    idx, se_reads, pe_reads = par_workload
+    opt = MemOptions()
+    sam_se = Aligner(idx, opt).align_batch(se_reads)
+    opt_pe = MemOptions()
+    opt_pe.flag |= 2  # MEM_F_PE
+    sam_pe = Aligner(idx, opt_pe).align_pairs(pe_reads)
+    return sam_se, sam_pe, opt, opt_pe
 
 
 @pytest.fixture(scope="session")
