@@ -35,6 +35,13 @@ from bwameme_tpu.index.suffix_array import build_suffix_array
 
 def build_text(code: np.ndarray) -> tuple[np.ndarray, int]:
     """forward + reverse-complement + T padding; returns (text, pad_len)."""
+    if len(code) and code.max() > 3:
+        # ambiguous bases must be resolved UPSTREAM (bntseq's lrand48 fill,
+        # reference: src/bntseq.cpp) — a stray 4 becomes 255 in the RC half
+        # and walks the native SA-IS off its bucket arrays
+        raise ValueError(
+            "build_text: code contains values > 3 (unresolved N bases?); "
+            "run the sequence through bntseq first (N -> lrand48()&3)")
     rc = (3 - code[::-1]).astype(np.uint8)
     body = np.concatenate([code, rc])
 

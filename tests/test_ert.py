@@ -175,3 +175,52 @@ def test_pipeline_with_ert_backend(small):
         seeding_engine=DeviceSeedingEngine(idx, MemOptions(), lanes=256,
                                            root="kmer"))
     assert ert_aln.align_batch(reads) == base
+
+
+def test_ert_seed_parity_vs_reference_binary_dump():
+    """Differential vs the ACTUAL reference ERT backend (VERDICT r3 #6).
+
+    tests/golden/ert_seeds.txt.gz is the committed output of the
+    reference's `test/ert_seeding_big_read` harness (steps=4: get_seeds ->
+    reseed -> last, src/ertseeding.cpp:3072-3435) over the golden contig
+    + reads, built against a real `index -a ert` `.kmer_table`/
+    `.mlt_table` (src/ertindex.cpp). Our host oracle must reproduce every
+    SMEM and every hit position (canonicalized: hits sorted within each
+    SMEM — the reference emits tree-walk order, we emit SA order).
+
+    The reference's `mem -Z` SAM over the same workload is byte-identical
+    to tests/golden/se_default.sam.gz (verified against the live binary,
+    2026-08-20), so SAM-level ERT parity is already pinned by
+    test_golden_sam; this test pins the seeding stage itself.
+    """
+    import gzip
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    "tools"))
+    import ert_seed_parity as esp
+
+    gold_dir = os.path.join(os.path.dirname(__file__), "golden")
+    with gzip.open(os.path.join(gold_dir, "ert_seeds.txt.gz"), "rt") as f:
+        ref_lines = f.read().splitlines()
+    theirs = esp.canonicalize_reference(ref_lines)
+
+    # first K reads keep the oracle under the suite budget; the full-set
+    # run is tools/ert_seed_parity.py --canon-file (PARITY OK 2670 lines,
+    # 2026-08-20)
+    K = 48
+    stop = next(i for i, ln in enumerate(theirs) if ln == f"{K}:")
+    theirs = theirs[:stop]
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        fa = os.path.join(td, "ref.fa")
+        with gzip.open(os.path.join(gold_dir, "ref.fa.gz"), "rt") as f:
+            open(fa, "w").write(f.read())
+        with gzip.open(os.path.join(gold_dir, "reads_se.fq.gz"), "rt") as f:
+            fq_lines = f.read().splitlines()
+        reads = [fq_lines[4 * i + 1] for i in range(K)]
+        ours = esp.our_dump(fa, reads, engine="host")
+    assert ours == theirs
