@@ -168,6 +168,17 @@ def run_dryrun(n_devices: int) -> None:
               f"left of {budget:.0f}); covered by tests/test_parallel_dp.py",
               file=sys.stderr)
 
+    # ---- optional 2-process multi-host stage (jax.distributed + Gloo
+    # DCN collectives; FASTQ-scatter/SAM-gather) — opt-in: it spawns two
+    # fresh interpreters that recompile everything (~4 min on 1 vCPU)
+    if os.environ.get("BWAMEME_DRYRUN_MULTIHOST") == "1" and remaining() > 300:
+        from bwameme_tpu.parallel.multihost import run_multihost
+
+        t0 = time.time()
+        run_multihost(2, timeout=remaining() - 30)
+        print(f"[dryrun] 2-process multihost SE+PE: {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
     # ---- seeding scaling probe over shard counts (informational) ----
     if remaining() > 120:
         shard_counts = sorted({1, 2} & set(range(1, n_devices + 1)))

@@ -158,12 +158,17 @@ class DeviceSeedingEngine:
 
     def _jit(self, fn, static_argnames=()):
         """jit a device program whose FIRST argument is the DeviceIndex.
-        Single-device: plain jax.jit. Mesh: jit(shard_map(...)) — index
-        planes per-shard, all other args replicated, outputs replicated —
+        Single-device: jit behind the AOT executable cache (warm starts
+        skip MINUTES of tracing of the big fused programs — see
+        utils/aot_cache.py). Mesh: jit(shard_map(...)) — index planes
+        per-shard, all other args replicated, outputs replicated —
         memoized per (n_args, static kwargs) so program caching matches
         plain jit's static_argnames behavior."""
         if self.mesh is None:
-            return jax.jit(fn, static_argnames=static_argnames)
+            from bwameme_tpu.utils.aot_cache import aot_jit
+
+            return aot_jit(fn, name=getattr(fn, "__name__", "prog"),
+                           static_argnames=static_argnames)
         from bwameme_tpu.ops.sa_search import shard_wrap
 
         cache = {}
@@ -230,7 +235,9 @@ class DeviceSeedingEngine:
             counts = valid.sum(axis=1, dtype=jnp.int32)
             return packed, counts
 
-        jitted = jax.jit(pack, static_argnames=("cap",))
+        from bwameme_tpu.utils.aot_cache import aot_jit
+
+        jitted = aot_jit(pack, name="pack", static_argnames=("cap",))
 
         def run(pairs, cap):
             flat = []
@@ -288,7 +295,9 @@ class DeviceSeedingEngine:
             return qbuf, nf.astype(jnp.int32), nr.astype(jnp.int32), \
                 nvf.astype(jnp.int32)
 
-        return jax.jit(prep)
+        from bwameme_tpu.utils.aot_cache import aot_jit
+
+        return aot_jit(prep, name="prep")
 
     # ------------------------------------------------------------- packing
     @staticmethod
