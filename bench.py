@@ -255,8 +255,21 @@ def main():
     print(f"# warmup+compile: {time.time()-t0:.1f}s", file=sys.stderr)
     t0 = time.time()
     n_smems = 0
-    for i in range(0, len(reads), BATCH):
-        n_smems += seed_batch(reads[i: i + BATCH])
+    if hasattr(eng, "submit_batch"):
+        # pipelined: enqueue every batch's device dispatches before any
+        # result fetch, so device compute overlaps the (latency-heavy)
+        # device->host readbacks — the ktp producer/consumer analog
+        toks = [eng.submit_batch(reads[i: i + BATCH])
+                for i in range(0, len(reads), BATCH)]
+        for tk in toks:
+            f = eng.finish_batch_flat(tk)
+            if f is None:
+                n_smems += sum(len(s) for s in eng.finish_batch(tk))
+            else:
+                n_smems += len(f.start)
+    else:
+        for i in range(0, len(reads), BATCH):
+            n_smems += seed_batch(reads[i: i + BATCH])
     dt = time.time() - t0
     device_rps = len(reads) / dt
     print(f"# device seeding: {len(reads)} reads in {dt:.2f}s "

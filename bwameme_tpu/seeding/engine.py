@@ -227,12 +227,15 @@ class DeviceSeedingEngine:
             stp = jnp.take(st.reshape(-1), sel)
             enp = jnp.take(en.reshape(-1), sel)
             sten = (stp << 10) | jnp.minimum(enp, 1023)
-            packed = jnp.stack([
-                sten,
-                jnp.take(lb.reshape(-1), sel),
-                jnp.take(cn.reshape(-1), sel),
-            ])
+            lbp = jnp.take(lb.reshape(-1), sel)
+            cnp = jnp.take(cn.reshape(-1), sel)
             counts = valid.sum(axis=1, dtype=jnp.int32)
+            if lbp.dtype == jnp.int32:
+                # ONE flat int32 buffer = ONE device->host fetch per batch:
+                # the tunnel charges a fixed ~85 ms latency per fetch
+                # (measured 2026-08-20), which dominated the transfer
+                return jnp.concatenate([counts, sten, lbp, cnp])
+            packed = jnp.stack([sten.astype(lbp.dtype), lbp, cnp])
             return packed, counts
 
         from bwameme_tpu.utils.aot_cache import aot_jit
@@ -513,19 +516,29 @@ class DeviceSeedingEngine:
         if packed is None:
             return None
         R = len(token[0])
-        buf, counts = (np.asarray(packed[0]), np.asarray(packed[1]))
+        if isinstance(packed, tuple):  # wide path: (idt planes, counts)
+            buf, counts = (np.asarray(packed[0]), np.asarray(packed[1]))
+            sten_row, lb_row, cn_row = buf[0], buf[1], buf[2]
+            cap = buf.shape[1]
+        else:  # narrow path: one flat int32 buffer (single fetch)
+            flat = np.asarray(packed)
+            counts = flat[:R]
+            cap = (flat.shape[0] - R) // 3
+            sten_row = flat[R: R + cap]
+            lb_row = flat[R + cap: R + 2 * cap]
+            cn_row = flat[R + 2 * cap:]
         total = int(counts.sum())
-        if total > buf.shape[1]:
+        if total > cap:
             return None  # cap overflow: fall back to the full slot transfer
         smem_off = np.zeros(R + 1, np.int32)
         np.cumsum(counts, out=smem_off[1:])
-        sten = buf[0, :total]
+        sten = sten_row[:total]
         start = sten >> 10
         end = sten & 1023
         return FlatSmems(smem_off, start.astype(np.int32),
                          end.astype(np.int32),
-                         buf[1, :total].astype(np.int64),
-                         buf[2, :total].astype(np.int64))
+                         lb_row[:total].astype(np.int64),
+                         cn_row[:total].astype(np.int64))
 
     def finish_batch(self, token) -> list[list[Smem]]:
         """Materialize a submit_batch token into per-read SMEM lists."""

@@ -91,7 +91,10 @@ def main():
         t3 = time.time() - t0
         t0 = time.time()
         packed = eng._pack([d1, d2, d3], len(batch) * eng.pack_cap_per_read)
-        np.asarray(packed[0]); np.asarray(packed[1])
+        if isinstance(packed, tuple):
+            np.asarray(packed[0]); np.asarray(packed[1])
+        else:
+            np.asarray(packed)
         t4 = time.time() - t0
         log(f"stages: prep {t_prep:.3f} step1 {t1:.3f} step2 {t2:.3f} "
             f"step3 {t3:.3f} pack+xfer {t4:.3f} "
