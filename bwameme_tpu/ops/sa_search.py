@@ -742,15 +742,32 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             else:
                 sa_pos = r0[..., 0].astype(jnp.int32)
                 kw = 1
+            # wide probes pass a (L, W) rank matrix: pattern words and v
+            # broadcast over the candidate axis
+            if jnp.ndim(sa_idx) == 2:
+                def _w(k):
+                    return aw[:, k][:, None]
+                v = v[:, None] if jnp.ndim(v) == 1 else v
+            else:
+                def _w(k):
+                    return aw[:, k]
             less, l48 = _multiword_cmp(
                 [r0[..., kw], r0[..., kw + 1], r0[..., kw + 2]],
-                [aw[:, 0], aw[:, 1], aw[:, 2]], 48)
+                [_w(0), _w(1), _w(2)], 48)
             vc = jnp.clip(v, 0, 48)
             diffb = l48 < vc
             lcp = jnp.minimum(l48, vc)
             less = jnp.where(diffb, less, False)
             resolved = diffb | (v <= 48)
             st = (less, lcp, resolved)
+            # deep-segment laziness is tunable: each lax.cond saves two
+            # kt64 row gathers when every lane resolves early, but costs a
+            # batch-wide any() reduction per probe round — on op-count-
+            # bound chips eager can win (BWAMEME_EAGER_DEEP=k runs the
+            # first k segments unconditionally; default 0 = all lazy)
+            import os as _os
+
+            eager = int(_os.environ.get("BWAMEME_EAGER_DEEP", "0"))
             for k in range(n_deep):
                 off = 48 + 64 * k
 
@@ -759,8 +776,8 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
                     dr = kt64_at(sa_pos + _off)                 # (..., 4)
                     lk, l64 = _multiword_cmp(
                         [dr[..., 0], dr[..., 1], dr[..., 2], dr[..., 3]],
-                        [aw[:, 3 + 4 * _k], aw[:, 4 + 4 * _k],
-                         aw[:, 5 + 4 * _k], aw[:, 6 + 4 * _k]], 64)
+                        [_w(3 + 4 * _k), _w(4 + 4 * _k),
+                         _w(5 + 4 * _k), _w(6 + 4 * _k)], 64)
                     rem = v - _off
                     vck = jnp.clip(rem, 0, 64)
                     diffk = l64 < vck
@@ -770,7 +787,10 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
                             jnp.where(resolved, lcp, lck),
                             resolved | diffk | (rem <= 64))
 
-                st = jax.lax.cond(jnp.any(~st[2]), deep, lambda s: s, st)
+                if k < eager:
+                    st = deep(st)
+                else:
+                    st = jax.lax.cond(jnp.any(~st[2]), deep, lambda s: s, st)
             less, lcp, _ = st
             oob = (sa_idx < 0) | (sa_idx >= n_sa)
             lcp = jnp.where(oob, 0, lcp)
@@ -889,6 +909,107 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             flag) -- half the sequential probe rounds of two searches."""
             return interval_at_ctx(make_ctx(qbuf32, row, pivot), l)
 
+        # ---------------------------------------------- window probe tier
+        # With the P-RMI trained tight (max err window W <= ~32, true for
+        # every index this builder produces at recommended bits), the
+        # lower_bound over [wlo, whi) needs no sequential rounds at all:
+        # ONE wide compare over the contiguous ranks wlo-1 .. wlo+W fetches
+        # every candidate row in a single gather, and the bound is
+        # wlo + popcount(pred) (pred is monotone along the sorted ranks).
+        # This collapses sa_query_min1 from ~2*lb_rounds+2 dependent probe
+        # rounds to 2 — the chip is op-count-bound, not bandwidth-bound
+        # (ARCHITECTURE.md "device trace findings"), so fewer, wider
+        # rounds win. Replaces the reference's last-mile loop
+        # (src/LearnedIndex_seeding.cpp:2262-2293) rather than
+        # translating it.
+        import os as _os
+
+        # measured SLOWER than the unrolled binary on the real chip
+        # (2026-08-20: 3.7k vs 8.2k reads/s at 100 Mbp — the (L, W) ops
+        # bloat every while-body; rounds are not the cost, per-iteration
+        # overhead is, see engine.body_unroll) — kept as an opt-in for
+        # future chips where gather fan-in is the constraint
+        use_window = (
+            has_rk
+            and max_width + 2 <= int(_os.environ.get(
+                "BWAMEME_WINDOW_CAP", "34"))
+            and _os.environ.get("BWAMEME_WINDOW_PROBE", "0") == "1"
+        )
+        if use_window:
+            WN = int(max_width) + 2
+            offs = jnp.arange(WN, dtype=jnp.int32)
+
+            def _probe(ctx, v, wlo, whi):
+                """(base, less, lcp, ip_helper) over ranks base+j,
+                j in [0, WN); base = wlo - 1."""
+                base = wlo - 1
+                ranks = base[:, None] + offs[None, :].astype(base.dtype)
+                less, lcp = cmp_ctx(ctx, v, ranks)          # (L, WN)
+                return base, ranks, less, lcp
+
+            def _count_bound(wlo, whi, ranks, pred):
+                inwin = (ranks >= wlo[:, None]) & (ranks < whi[:, None])
+                return wlo + jnp.sum(pred & inwin, axis=1).astype(wlo.dtype)
+
+            def _col(lcp_mat, base, rank):
+                c = jnp.clip((rank - base).astype(jnp.int32), 0, WN - 1)
+                return jnp.take_along_axis(lcp_mat, c[:, None], 1)[:, 0]
+
+            def find_longest_ctx_w(ctx, v):
+                khi, klo = ctx_first_words(ctx)
+                keep_hi, keep_lo = keep_masks(v)
+                khi_p = (khi & keep_hi) | ~keep_hi
+                klo_p = (klo & keep_lo) | ~keep_lo
+                wlo, whi = rmi_window(khi_p, klo_p)
+                base, ranks, less, lcp = _probe(ctx, v, wlo, whi)
+                ip = _count_bound(wlo, whi, ranks, less)
+                # the two boundary lcps ride the SAME probe matrix
+                mlen = jnp.maximum(_col(lcp, base, ip - 1),
+                                   _col(lcp, base, ip))
+                return mlen, ip
+
+            def _interval_w(ctx, l):
+                """(lb, cnt, l_below, l_above): interval of pattern[:l] and
+                the LCPs just outside it (the widening fixed point's nxt
+                inputs), all from ONE double-lane wide probe."""
+                khi, klo = ctx_first_words(ctx)
+                keep_hi, keep_lo = keep_masks(l)
+                khi_a = khi & keep_hi
+                klo_a = klo & keep_lo
+                khi_t = khi_a | ~keep_hi
+                klo_t = klo_a | ~keep_lo
+                wlo_a, whi_a = rmi_window(khi_a, klo_a)
+                wlo_t, whi_t = rmi_window(khi_t, klo_t)
+                L = wlo_a.shape[0]
+                ctx2 = ctx_tile(ctx, 2)
+                l2 = jnp.concatenate([l, l]) if jnp.ndim(l) else l
+                wlo2 = jnp.concatenate([wlo_a, wlo_t])
+                whi2 = jnp.concatenate([whi_a, whi_t])
+                base, ranks, less, lcp = _probe(ctx2, l2, wlo2, whi2)
+                full = lcp >= (l2[:, None] if jnp.ndim(l2) else l2)
+                strict2 = jnp.concatenate([
+                    jnp.zeros((L, 1), jnp.bool_), jnp.ones((L, 1), jnp.bool_)])
+                pred = less | (strict2 & full)
+                res = _count_bound(wlo2, whi2, ranks, pred)
+                lb = res[:L]
+                ub = res[L:]
+                l_below = _col(lcp[:L], base[:L], lb - 1)
+                l_above = _col(lcp[L:], base[L:], ub)
+                return lb, ub - lb, l_below, l_above
+
+            def interval_at_ctx_w(ctx, l):
+                lb, cnt, _, _ = _interval_w(ctx, l)
+                return lb, cnt
+
+            find_longest_ctx = find_longest_ctx_w
+            interval_at_ctx = interval_at_ctx_w
+
+            def find_longest(qbuf32, row, pivot, v):
+                return find_longest_ctx_w(make_ctx(qbuf32, row, pivot), v)
+
+            def interval_at(qbuf32, row, pivot, l):
+                return interval_at_ctx_w(make_ctx(qbuf32, row, pivot), l)
+
         def lcp_at(qbuf32, row, pivot, cap, sa_idx):
             """LCP of suffix sa[sa_idx] with pattern[:cap]."""
             _, l = suffix_cmp(qbuf32, row, pivot, cap, sa_idx)
@@ -910,7 +1031,8 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             """The widening fixed point: longest l with interval count >=
             min_intv. Returns (l, lb, cnt); v==0 lanes are inert."""
             ctx = make_ctx(qbuf32, row, pivot)
-            ctx2 = ctx_tile(ctx, 2)
+            if not use_window:
+                ctx2 = ctx_tile(ctx, 2)
             mlen, _ = find_longest_ctx(ctx, jnp.maximum(v, 1))
             mlen = jnp.where(v <= 0, 0, mlen)
             L = mlen.shape[0]
@@ -922,14 +1044,21 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             def body(st):
                 mlen, lb, cnt, done = st
                 l_eff = jnp.maximum(mlen, 1)
-                lb2, cnt2 = interval_at_ctx(ctx, l_eff)
+                if use_window:
+                    # ONE wide probe yields the interval AND the just-
+                    # outside LCPs the widening step needs
+                    lb2, cnt2, l_below, l_above = _interval_w(ctx, l_eff)
+                    nxt = jnp.maximum(l_below, l_above)
+                else:
+                    lb2, cnt2 = interval_at_ctx(ctx, l_eff)
                 lb2 = jnp.where(mlen == 0, 0, lb2)
                 cnt2 = jnp.where(mlen == 0, n_sa, cnt2)
                 sat = (cnt2 >= min_intv) | (mlen == 0)
-                _, l01 = cmp_ctx(
-                    ctx2, jnp.concatenate([l_eff, l_eff]),
-                    jnp.concatenate([lb2 - 1, lb2 + cnt2]))
-                nxt = jnp.maximum(l01[:L], l01[L:])
+                if not use_window:
+                    _, l01 = cmp_ctx(
+                        ctx2, jnp.concatenate([l_eff, l_eff]),
+                        jnp.concatenate([lb2 - 1, lb2 + cnt2]))
+                    nxt = jnp.maximum(l01[:L], l01[L:])
                 new_mlen = jnp.where(done | sat, mlen, nxt)
                 new_lb = jnp.where(done, lb, lb2)
                 new_cnt = jnp.where(done, cnt, cnt2)

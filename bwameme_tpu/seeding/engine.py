@@ -78,8 +78,23 @@ class DeviceSeedingEngine:
         self._prep_dev = self._build_prepare_device()
         # straggler compaction: full-width iterations before the unfinished
         # lanes are compacted to R//4 width (see _build_fused_step1)
-        self.step1_cap1 = 30
-        self.step2_cap1 = 16
+        import os as _os2
+
+        self.step1_cap1 = int(_os2.environ.get("BWAMEME_STEP1_CAP1", "30"))
+        # 32 measured best on-chip (100 Mbp sweep 2026-08-20: 16 -> 8561,
+        # 32 -> 10013, 48 -> 9490, 64 -> 9225 reads/s): step 2's
+        # full-width safety net was eating the gain of compaction when
+        # begin stopped after only 16 transitions
+        self.step2_cap1 = int(_os2.environ.get("BWAMEME_STEP2_CAP1", "32"))
+        # state-machine transitions per while-loop iteration (identical
+        # results; DONE lanes are inert). Measured on this chip: K=4 is
+        # ~12% SLOWER than K=1 (cost tracks body op count, not iteration
+        # count) — kept as a knob for chips where the balance differs
+        self.body_unroll = int(_os2.environ.get("BWAMEME_BODY_UNROLL", "1"))
+        # straggler-compaction width divisor: continue_at narrows the
+        # unfinished lanes to R/frac before the full-width safety net
+        self.compact_frac = int(_os2.environ.get("BWAMEME_COMPACT_FRAC",
+                                                 "4"))
         self.max_smems = 96  # per-read emission capacity in the fused kernels
         self.use_fused = True
         # steps 2 and 3 as single fused dispatches (depth-2 programs,
@@ -888,7 +903,7 @@ class DeviceSeedingEngine:
         idt = self.idt
 
         def begin(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
-                  split_len, split_width, minseed, M1, M2, cap1):
+                  split_len, split_width, minseed, M1, M2, cap1, K):
             nf = nf.astype(jnp.int32)
             nr = nr.astype(jnp.int32)
             R, Lp = nf.shape
@@ -915,8 +930,12 @@ class DeviceSeedingEngine:
             def cond(st):
                 return jnp.any(st["phase"] != DONE2) & (st["it"] < cap1)
 
-            st = jax.lax.while_loop(
-                cond, lambda st: body(lanes, lens_r, st), st0)
+            def bK(st):
+                for _ in range(K):
+                    st = body(lanes, lens_r, st)
+                return st
+
+            st = jax.lax.while_loop(cond, bK, st0)
             return (st["phase"], st["k"], st["p"], st["npv"], st["psp"],
                     st["mi"], st["nsm"],
                     (st["starts"], st["ends"], st["lbs"], st["cnts"]))
@@ -924,7 +943,7 @@ class DeviceSeedingEngine:
         def continue_at(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
                         split_len, split_width, minseed,
                         phase_f, k_f, p_f, npv_f, psp_f, mi_f, nsm_f, slots,
-                        M1, Rc):
+                        M1, Rc, K):
             nf = nf.astype(jnp.int32)
             nr = nr.astype(jnp.int32)
             R, Lp = nf.shape
@@ -954,8 +973,12 @@ class DeviceSeedingEngine:
             def cond(st):
                 return jnp.any(st["phase"] != DONE2)
 
-            st = jax.lax.while_loop(
-                cond, lambda st: body(lanes, lens_l, st), st0)
+            def bK(st):
+                for _ in range(K):
+                    st = body(lanes, lens_l, st)
+                return st
+
+            st = jax.lax.while_loop(cond, bK, st0)
             return (phase_f.at[lanes].set(st["phase"]),
                     k_f.at[lanes].set(st["k"]),
                     p_f.at[lanes].set(st["p"]),
@@ -965,22 +988,24 @@ class DeviceSeedingEngine:
                     nsm_f.at[lanes].set(st["nsm"]),
                     (st["starts"], st["ends"], st["lbs"], st["cnts"]))
 
-        jb = self._jit(begin, static_argnames=("M1", "M2", "cap1"))
-        jc = self._jit(continue_at, static_argnames=("M1", "Rc"))
+        jb = self._jit(begin, static_argnames=("M1", "M2", "cap1", "K"))
+        jc = self._jit(continue_at, static_argnames=("M1", "Rc", "K"))
 
         def fused(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
                   split_len, split_width, minseed, M1, M2):
             cap1 = int(getattr(self, "step2_cap1", 16))
+            K = int(getattr(self, "body_unroll", 4))
             st = jb(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
                     split_len, split_width, minseed, M1=M1, M2=M2,
-                    cap1=cap1)
+                    cap1=cap1, K=K)
             R = nf.shape[0]
-            Rc = max(64, R // 4)
+            Rc = max(64, R // int(getattr(self, "compact_frac", 4)))
             if Rc < R:
                 st = jc(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
-                        split_len, split_width, minseed, *st, M1=M1, Rc=Rc)
+                        split_len, split_width, minseed, *st, M1=M1, Rc=Rc,
+                        K=K)
             st = jc(di, qbuf, nf, nr, lens_r, st1, en1, cn1, nsm1,
-                    split_len, split_width, minseed, *st, M1=M1, Rc=0)
+                    split_len, split_width, minseed, *st, M1=M1, Rc=0, K=K)
             return st[7], st[6]
 
         return fused
@@ -1089,7 +1114,7 @@ class DeviceSeedingEngine:
 
         idt = self.idt
 
-        def begin(di, qbuf, nf, nr, nvf, lens, minseed, M, cap1):
+        def begin(di, qbuf, nf, nr, nvf, lens, minseed, M, cap1, K):
             nf = nf.astype(jnp.int32)
             nr = nr.astype(jnp.int32)
             nvf = nvf.astype(jnp.int32)
@@ -1113,13 +1138,17 @@ class DeviceSeedingEngine:
             def cond(st):
                 return jnp.any(st["phase"] != DONE) & (st["it"] < cap1)
 
-            st = jax.lax.while_loop(
-                cond, lambda st: body(lanes, lens, st), st0)
+            def bK(st):  # K transitions per iteration (overhead amortizer)
+                for _ in range(K):
+                    st = body(lanes, lens, st)
+                return st
+
+            st = jax.lax.while_loop(cond, bK, st0)
             return (st["phase"], st["p"], st["spb"], st["nsm"],
                     (st["starts"], st["ends"], st["lbs"], st["cnts"]))
 
         def continue_at(di, qbuf, nf, nr, nvf, lens, minseed,
-                        phase_f, p_f, spb_f, nsm_f, slots, Rc):
+                        phase_f, p_f, spb_f, nsm_f, slots, Rc, K):
             """Compact the unfinished lanes to width Rc and run them to
             completion; Rc=0 means full width (the safety net)."""
             nf = nf.astype(jnp.int32)
@@ -1149,9 +1178,9 @@ class DeviceSeedingEngine:
 
             def b(st):
                 # per-lane nsm rides the loop; full slot planes are shared
-                full = dict(st)
-                out = body(lanes, lens_l, full)
-                return out
+                for _ in range(K):
+                    st = body(lanes, lens_l, st)
+                return st
 
             st = jax.lax.while_loop(cond, b, st0)
             phase_f = phase_f.at[lanes].set(st["phase"])
@@ -1161,17 +1190,20 @@ class DeviceSeedingEngine:
             return (phase_f, p_f, spb_f, nsm_f,
                     (st["starts"], st["ends"], st["lbs"], st["cnts"]))
 
-        jb = self._jit(begin, static_argnames=("M", "cap1"))
-        jc = self._jit(continue_at, static_argnames=("Rc",))
+        jb = self._jit(begin, static_argnames=("M", "cap1", "K"))
+        jc = self._jit(continue_at, static_argnames=("Rc", "K"))
 
         def fused(di, qbuf, nf, nr, nvf, lens, minseed, M):
             cap1 = int(getattr(self, "step1_cap1", 30))
-            st = jb(di, qbuf, nf, nr, nvf, lens, minseed, M=M, cap1=cap1)
+            K = int(getattr(self, "body_unroll", 4))
+            st = jb(di, qbuf, nf, nr, nvf, lens, minseed, M=M, cap1=cap1,
+                    K=K)
             R = nf.shape[0]
-            Rc = max(64, R // 4)
+            Rc = max(64, R // int(getattr(self, "compact_frac", 4)))
             if Rc < R:
-                st = jc(di, qbuf, nf, nr, nvf, lens, minseed, *st, Rc=Rc)
-            st = jc(di, qbuf, nf, nr, nvf, lens, minseed, *st, Rc=0)
+                st = jc(di, qbuf, nf, nr, nvf, lens, minseed, *st, Rc=Rc,
+                        K=K)
+            st = jc(di, qbuf, nf, nr, nvf, lens, minseed, *st, Rc=0, K=K)
             return st[4], st[3]
 
         return fused
