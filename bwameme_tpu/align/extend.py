@@ -650,7 +650,8 @@ def _dispatch_retry_round(opt, prep, aux, h0_reg, l_idx, l_ws, r_idx, r_ws):
         opt.pen_clip5, opt.pen_clip3, opt.zdrop,
         NL=NLp, NR=NRp, Q=aux["Q"], TL=aux["TL"], TR=aux["TR"],
     )
-    la, ra = np.asarray(la), np.asarray(ra)
+    cat = np.asarray(jnp.concatenate([la, ra], axis=1))  # one fetch
+    la, ra = cat[:, : la.shape[1]], cat[:, la.shape[1]:]
     L2 = {k: la[i, : len(l_idx)] for i, k in enumerate(EXT_ROUND_ORDER)}
     R2 = {k: ra[i, : len(r_idx)] for i, k in enumerate(EXT_ROUND_ORDER)}
     return L2, R2
@@ -674,22 +675,49 @@ def extend_flat_finish(token) -> list[list[AlnReg]]:
     if G:
         nl, nr = prep["n_left"], prep["n_right"]
 
-        def _assemble(side_res, n):
-            """Bucketed results (list of (idx, res_dev, Np)) or the legacy
-            single stacked array -> {field: np.ndarray[n]}."""
-            if isinstance(side_res, list):
-                out = {k: np.zeros(n, np.int32) for k in EXT_ROUND_ORDER}
-                for idx, res_dev, _Np in side_res:
-                    arr = np.asarray(res_dev)
-                    for i, k in enumerate(EXT_ROUND_ORDER):
-                        out[k][idx] = arr[i, : len(idx)]
-                return out
-            arr = np.asarray(side_res)
-            return {k: arr[i, :n].copy()
-                    for i, k in enumerate(EXT_ROUND_ORDER)}
+        def _assemble_both(left_res, right_res, nl, nr):
+            """One device->host fetch for ALL tile-class buckets of both
+            sides: each fetch costs a fixed ~85 ms tunnel latency, so the
+            per-bucket asarray of the first tile-class version multiplied
+            the extension wall (r3's unexplained e2e regression)."""
+            import jax.numpy as jnp
 
-        L = _assemble(left, nl)
-        Rt = _assemble(right, nr)
+            sides = []
+            for side_res, n in ((left_res, nl), (right_res, nr)):
+                if not isinstance(side_res, list):
+                    sides.append(("flat", side_res, n))
+                else:
+                    sides.append(("buckets", side_res, n))
+            devs = []
+            for kind, res, n in sides:
+                if kind == "flat":
+                    devs.append(res)
+                else:
+                    devs.extend(r[1] for r in res)
+            if len(devs) > 1:
+                cat = np.asarray(jnp.concatenate(devs, axis=1))
+            else:
+                cat = np.asarray(devs[0])
+            outs = []
+            col = 0
+            for kind, res, n in sides:
+                out = {k: np.zeros(n, np.int32) for k in EXT_ROUND_ORDER}
+                if kind == "flat":
+                    w = res.shape[1]
+                    for i, k in enumerate(EXT_ROUND_ORDER):
+                        out[k][:] = cat[i, col: col + n]
+                    col += w
+                else:
+                    for idx, res_dev, _Np in res:
+                        w = res_dev.shape[1]
+                        blk = cat[:, col: col + w]
+                        for i, k in enumerate(EXT_ROUND_ORDER):
+                            out[k][idx] = blk[i, : len(idx)]
+                        col += w
+                outs.append(out)
+            return outs
+
+        L, Rt = _assemble_both(left, right, nl, nr)
         w0 = opt.w
         thr = (w0 >> 1) + (w0 >> 2)
         # round-1 retry predicate (left prev is -1, so only max_off gates)

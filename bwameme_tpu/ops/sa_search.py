@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -187,13 +188,26 @@ class DeviceIndex:
             def put_repl(a):
                 return jax.device_put(np.asarray(a), rp)
         if mode is None:
-            if idx.isa is not None:
-                # mode 4's 32 B/suffix must fit each shard's HBM next to the
-                # text + slots; past ~256M suffixes/shard drop to mode 3
-                mode = 4 if (idx.n_sa // max(n_shards_req, 1) <= (1 << 28)
-                             and not wide) else 3
-            else:
+            # HBM-aware tier ladder (reference analog: the 38/88/118 GB
+            # MODE builds, README.md:151-156). Per-shard bytes: mode 4 =
+            # 32 B/suffix (rk 16 + kt64 16), mode 3 = 12 B (sa + ktext),
+            # mode 1 = 4 B (sa only); leave ~25% headroom for text32,
+            # params, query slots, and the extension kernels.
+            try:
+                hbm = int(jax.devices()[0].memory_stats()["bytes_limit"])
+            except Exception:
+                hbm = 16 << 30  # v5e default
+            hbm = int(os.environ.get("BWAMEME_HBM_BYTES", hbm))
+            budget = int(hbm * 0.75)
+            n_s = idx.n_sa // max(n_shards_req, 1)
+            if idx.isa is not None and not wide and n_s * 32 <= budget:
+                mode = 4
+            elif idx.isa is not None and n_s * 12 <= budget:
+                mode = 3
+            elif idx.isa is None and n_s * 12 <= budget:
                 mode = 2
+            else:
+                mode = 1  # positions only: compares walk the packed text
         rk = kt64 = ktext = key2 = None
         if mode == 4:
             assert idx.isa is not None, "mode 4 (rk/kt64) needs the ISA"

@@ -104,11 +104,20 @@ def main():
     sum(len(s) for s in al.align_stream(iter(batches[:1])))
     print(f"# e2e warmup+compile: {time.time()-t0:.1f}s", file=sys.stderr,
           flush=True)
+    from bwameme_tpu.utils.timer import TPROF
+
+    TPROF.totals.clear()
+    TPROF.counts.clear()
     t0 = time.time()
     n_rec = sum(len(s) for s in al.align_stream(iter(batches)))
-    e2e_se_rps = len(read_objs) / (time.time() - t0)
+    wall_se = time.time() - t0
+    e2e_se_rps = len(read_objs) / wall_se
     print(f"# e2e SE: {e2e_se_rps:.0f} reads/s ({n_rec} records)",
           file=sys.stderr, flush=True)
+    try:
+        TPROF.report(sys.stderr, total=wall_se)
+    except Exception:
+        pass
 
     pair_objs = [to_read("p", i >> 1, c)
                  for i, c in enumerate(
@@ -117,10 +126,17 @@ def main():
     al.align_pairs(pair_objs)
     print(f"# PE warmup+compile: {time.time()-t0:.1f}s", file=sys.stderr,
           flush=True)
+    TPROF.totals.clear()
+    TPROF.counts.clear()
     t0 = time.time()
     sam_pe = al.align_pairs(pair_objs)
-    e2e_pe_rps = len(pair_objs) / (time.time() - t0)
+    wall_pe = time.time() - t0
+    e2e_pe_rps = len(pair_objs) / wall_pe
     print(f"# e2e PE: {e2e_pe_rps:.0f} reads/s", file=sys.stderr, flush=True)
+    try:
+        TPROF.report(sys.stderr, total=wall_pe, label="PE stage breakdown")
+    except Exception:
+        pass
     if fallbacks.total():
         print(f"# FALLBACKS: {fallbacks.summary()}", file=sys.stderr)
     print(json.dumps({"mbp": mbp, "root": root, "mode": mode,
