@@ -535,7 +535,10 @@ def extend_flat_submit(opt, bns, queries, chain_raw, text32):
 # trip count (any value; each distinct value is one compiled program); the
 # lane dim is W = Q+2, padded by the compiler to a multiple of 128, so only
 # the W-crossing Q steps are distinct classes.
-_EXT_T_LADDER = (48, 96, 160, 256, 384, 512, 1024, 2048, 4096)
+_EXT_T_LADDER = (48, 96, 160, 272, 384, 512, 1024, 2048, 4096)
+# 272 not 256: right-side targets are len + 2w + 1 = 257 at the 151 bp /
+# w=100 defaults (measured qlen/tlen distribution, tools/probe_extend.py)
+# — a 256 bucket pushed EVERY right job into T=384 (+33% trips)
 _EXT_Q_LADDER = (126, 254, 510, 1022)
 _EXT_MIN_BUCKET = 384  # dispatch overhead floor: merge smaller classes up
 _EXT_BUCKETS = os.environ.get("BWAMEME_EXT_BUCKETS", "1") == "1"

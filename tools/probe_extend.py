@@ -54,8 +54,9 @@ def main():
     print(f"# seed: {seed_s:.3f}s ({n_reads/seed_s:.0f} r/s)",
           file=sys.stderr)
 
-    raw = chain_mod.chain_and_filter_raw(opt, idx.bns, reads, flat,
-                                         eng.sa_positions)
+    raw = chain_mod.chain_and_filter_raw(
+        opt, idx.bns, reads, flat,
+        getattr(eng, "sa_positions", idx.sa))
     lq = np.asarray([len(q) for q in reads], np.int32)
     ctg_off = np.ascontiguousarray([c.offset for c in idx.bns.contigs],
                                    np.int64)
