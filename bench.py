@@ -256,17 +256,30 @@ def main():
     t0 = time.time()
     n_smems = 0
     if hasattr(eng, "submit_batch"):
-        # pipelined: enqueue every batch's device dispatches before any
-        # result fetch, so device compute overlaps the (latency-heavy)
-        # device->host readbacks — the ktp producer/consumer analog
-        toks = [eng.submit_batch(reads[i: i + BATCH])
-                for i in range(0, len(reads), BATCH)]
-        for tk in toks:
+        # pipelined with BOUNDED depth: keep at most 3 batches' device
+        # buffers live (compute still overlaps the latency-heavy
+        # device->host readbacks — the ktp producer/consumer analog — but
+        # HBM footprint no longer grows with the read count)
+        from collections import deque
+
+        DEPTH = 3
+        pending: deque = deque()
+
+        def _drain_one():
+            nonlocal n_smems
+            tk = pending.popleft()
             f = eng.finish_batch_flat(tk)
             if f is None:
                 n_smems += sum(len(s) for s in eng.finish_batch(tk))
             else:
                 n_smems += len(f.start)
+
+        for i in range(0, len(reads), BATCH):
+            pending.append(eng.submit_batch(reads[i: i + BATCH]))
+            if len(pending) >= DEPTH:
+                _drain_one()
+        while pending:
+            _drain_one()
     else:
         for i in range(0, len(reads), BATCH):
             n_smems += seed_batch(reads[i: i + BATCH])

@@ -697,6 +697,11 @@ def extend_flat_finish(token) -> list[list[AlnReg]]:
                     devs.append(res)
                 else:
                     devs.extend(r[1] for r in res)
+            if not devs:
+                # both sides empty while G > 0: every seed spans its full
+                # read (exact full-length hits), so no extension jobs exist
+                return [{k: np.zeros(n, np.int32) for k in EXT_ROUND_ORDER}
+                        for _, _, n in sides]
             if len(devs) > 1:
                 cat = np.asarray(jnp.concatenate(devs, axis=1))
             else:

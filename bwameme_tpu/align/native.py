@@ -746,9 +746,11 @@ def dedup_batch_native(opt, bns, text, recs, regs_per_read):
 
 
 def build_mode4_rows_native(sa, key_hi, key_lo, isa, wide=False):
-    """Fused MODE-4 row assembly (rkm, k64) in one C++ pass; None when the
+    """Fused MODE-4 rank-row assembly (rkm) in one C++ pass; None when the
     native library is unavailable (caller uses the numpy fallback). Wide
-    rank rows are (N,5): (pos_lo, pos_hi, key_hi, key_lo, b48)."""
+    rank rows are (N,5): (pos_lo, pos_hi, key_hi, key_lo, b48). The former
+    second output (the kt64 text-position plane) is gone — deep compares
+    read the packed text on device (ops/sa_search.py:text64_at)."""
     lib = _load()
     if lib is None:
         return None
@@ -756,7 +758,7 @@ def build_mode4_rows_native(sa, key_hi, key_lo, isa, wide=False):
         u32p = ctypes.POINTER(ctypes.c_uint32)
         i64p = ctypes.POINTER(ctypes.c_int64)
         lib.build_mode4_rows_c.argtypes = [
-            ctypes.c_int64, i64p, u32p, u32p, i64p, u32p, u32p,
+            ctypes.c_int64, i64p, u32p, u32p, i64p, u32p,
             ctypes.c_int32]
         lib.build_mode4_rows_c.restype = None
         lib._m4_sig = True
@@ -766,10 +768,9 @@ def build_mode4_rows_native(sa, key_hi, key_lo, isa, wide=False):
     key_hi = np.ascontiguousarray(key_hi, np.uint32)
     key_lo = np.ascontiguousarray(key_lo, np.uint32)
     rkm = np.empty((n, 5 if wide else 4), np.uint32)
-    k64 = np.empty((n, 4), np.uint32)
     lib.build_mode4_rows_c(
         n, _p(sa, ctypes.c_int64), _p(key_hi, ctypes.c_uint32),
         _p(key_lo, ctypes.c_uint32), _p(isa, ctypes.c_int64),
-        _p(rkm, ctypes.c_uint32), _p(k64, ctypes.c_uint32),
+        _p(rkm, ctypes.c_uint32),
         ctypes.c_int32(1 if wide else 0))
-    return rkm, k64
+    return rkm

@@ -67,9 +67,14 @@ def cal_sub(opt, regs: list[AlnReg]) -> int:
     return opt.min_seed_len * opt.a
 
 
-def pestat(opt, l_pac: int, regs_pairs: list[list[AlnReg]]) -> list[PeStat]:
-    """Insert-size stats over a chunk; regs_pairs = per-read reg lists,
-    interleaved R1,R2 (reference: mem_pestat)."""
+def pestat_isize(opt, l_pac: int,
+                 regs_pairs: list[list[AlnReg]]) -> list[list[int]]:
+    """First half of mem_pestat: the per-orientation insert-size
+    observations of a chunk (reference: src/bwamem_pair.cpp:88-115).
+    Split out so a multi-process run can allgather each process's local
+    observations over DCN and feed the union to pestat_from_isize —
+    the stats are then chunk-global exactly as in the single-process
+    reference (parallel/multihost.py)."""
     isize: list[list[int]] = [[], [], [], []]
     n = len(regs_pairs)
     for i in range(n >> 1):
@@ -86,6 +91,14 @@ def pestat(opt, l_pac: int, regs_pairs: list[list[AlnReg]]) -> list[PeStat]:
         d, dist = infer_dir(l_pac, r0[0].rb, r1[0].rb)
         if dist and dist <= opt.max_ins:
             isize[d].append(dist)
+    return isize
+
+
+def pestat_from_isize(isize: list[list[int]]) -> list[PeStat]:
+    """Second half of mem_pestat: percentile/σ stats per orientation
+    (reference: src/bwamem_pair.cpp:116-149). Order-insensitive in the
+    observations (sorts internally), so gathered multi-process lists give
+    bit-identical stats to the single-process run."""
     pes = [PeStat() for _ in range(4)]
     for d in range(4):
         q = sorted(isize[d])
@@ -113,6 +126,12 @@ def pestat(opt, l_pac: int, regs_pairs: list[list[AlnReg]]) -> list[PeStat]:
         if pes[d].failed == 0 and len(isize[d]) < mx * MIN_DIR_RATIO:
             pes[d].failed = 1
     return pes
+
+
+def pestat(opt, l_pac: int, regs_pairs: list[list[AlnReg]]) -> list[PeStat]:
+    """Insert-size stats over a chunk; regs_pairs = per-read reg lists,
+    interleaved R1,R2 (reference: mem_pestat)."""
+    return pestat_from_isize(pestat_isize(opt, l_pac, regs_pairs))
 
 
 def matesw(opt, bns, text: np.ndarray, pes: list[PeStat], a: AlnReg,

@@ -69,10 +69,12 @@ class DeviceIndex:
     #                          AND the first 48 bases of every probe; wide
     #                          indexes widen to uint32[N,5]:
     #                          (pos_lo, pos_hi, key_hi, key_lo, b48), 20 B
-    kt64: jax.Array | None = None  # uint32[N,4] MODE-4 text-position rows:
-    #                          kt64[p] = 64 bases of text at p (two stacked
-    #                          32-base keys) — deep compares cost ONE 16-byte
-    #                          gather per 64 bases instead of two 8-byte ones
+    kt64: jax.Array | None = None  # RETIRED (always None): mode-4 deep
+    #                          compares read the packed text directly
+    #                          (text64_at) — a second multi-GB uploaded
+    #                          plane put the device in a persistently
+    #                          degraded gather state (2026-08-20). Field
+    #                          kept for pytree shape stability.
     wide: bool = False             # int64 ranks/positions (texts >= 2^31
     #                          suffixes, e.g. human text+RC = 6.2e9); needs
     #                          jax_enable_x64; sa plane is int64 and leaf
@@ -97,10 +99,10 @@ class DeviceIndex:
         mode selects the HBM-resident layout, the analog of the reference's
         compile-time MODE axis (38/88/118 GB for human,
         src/LearnedIndex_seeding.h:79-88, README.md:151-156):
-          4 = fused rank rows (sa + first 48 bases per rank, 16 B) + 64-base
-              text-position key rows (16 B) — fastest, ~32 B/suffix: every
-              probe's position AND first 48 bases cost ONE gather, deep
-              compares one gather per 64 bases (needs idx.isa);
+          4 = fused rank rows (sa + first 48 bases per rank) — fastest,
+              ~16 B/suffix: every probe's position AND first 48 bases cost
+              ONE gather; deep (>=48-base) ties read the packed text
+              directly, 5 word takes per 64 bases (needs idx.isa);
           3 = positions + text-position key plane (ktext; needs idx.isa) —
               ~12 B/suffix;
           2 = positions + rank-indexed key plane (key2) — ~12 B/suffix, no
@@ -190,9 +192,10 @@ class DeviceIndex:
         if mode is None:
             # HBM-aware tier ladder (reference analog: the 38/88/118 GB
             # MODE builds, README.md:151-156). Per-shard bytes: mode 4 =
-            # 32 B/suffix (rk 16 + kt64 16), mode 3 = 12 B (sa + ktext),
-            # mode 1 = 4 B (sa only); leave ~25% headroom for text32,
-            # params, query slots, and the extension kernels.
+            # 16 B/suffix (rk only; deep compares read the packed text),
+            # mode 3 = 12 B (sa + ktext), mode 1 = 4 B (sa only); leave
+            # ~25% headroom for text32, params, query slots, and the
+            # extension kernels.
             try:
                 hbm = int(jax.devices()[0].memory_stats()["bytes_limit"])
             except Exception:
@@ -200,7 +203,7 @@ class DeviceIndex:
             hbm = int(os.environ.get("BWAMEME_HBM_BYTES", hbm))
             budget = int(hbm * 0.75)
             n_s = idx.n_sa // max(n_shards_req, 1)
-            if idx.isa is not None and not wide and n_s * 32 <= budget:
+            if idx.isa is not None and not wide and n_s * 16 <= budget:
                 mode = 4
             elif idx.isa is not None and n_s * 12 <= budget:
                 mode = 3
@@ -210,23 +213,23 @@ class DeviceIndex:
                 mode = 1  # positions only: compares walk the packed text
         rk = kt64 = ktext = key2 = None
         if mode == 4:
-            assert idx.isa is not None, "mode 4 (rk/kt64) needs the ISA"
+            assert idx.isa is not None, "mode 4 (rk) needs the ISA"
             n = len(idx.sa)
             from bwameme_tpu.align.native import build_mode4_rows_native
 
+            # NOTE: mode 4 is rk-ONLY (16 B/suffix). It used to also ship
+            # a 64-base text-position plane (kt64, 16 B/suffix) for deep
+            # compares; measured 2026-08-20 on the v5e tunnel, touching
+            # that second multi-GB uploaded plane put the device in a
+            # persistently degraded state (~100x on every subsequent
+            # gather) — deep compares now read the packed text directly
+            # (text64_at), which is faster AND halves mode-4 HBM.
             nat = build_mode4_rows_native(idx.sa, idx.key_hi, idx.key_lo,
                                           idx.isa, wide=wide)
             if nat is not None:
-                rkm, k64 = nat
+                rkm = nat
             else:
                 kh_t = idx.key_hi[idx.isa]  # 16 bases at text position p
-                kl_t = idx.key_lo[idx.isa]
-                k64 = np.empty((n, 4), np.uint32)
-                k64[:, 0] = kh_t
-                k64[:, 1] = kl_t
-                k64[:-32, 2] = kh_t[32:]
-                k64[:-32, 3] = kl_t[32:]
-                k64[-32:, 2:] = 0xFFFFFFFF  # past the padded text: all-T
                 # wide rank rows carry the position as two uint32 words
                 # (lo, hi) ahead of the 48 key bases — 20 B, still ONE
                 # row gather per probe; narrow rows keep the 16 B layout
@@ -242,7 +245,6 @@ class DeviceIndex:
                 rkm[:, kw + 2] = np.where(nxt < n,
                                           kh_t[np.minimum(nxt, n - 1)],
                                           np.uint32(0xFFFFFFFF))
-            kt64 = put_shard(k64)
             rk = put_shard(rkm)
         elif mode == 3:
             assert idx.isa is not None, "mode 3 (ktext) needs the ISA"
@@ -319,9 +321,12 @@ jax.tree_util.register_pytree_node(DeviceIndex, _di_flatten, _di_unflatten)
 
 
 def _gather_words3(buf: jax.Array, word_idx: jax.Array):
-    w0 = jnp.take(buf, word_idx, axis=0, mode="clip")
-    w1 = jnp.take(buf, word_idx + 1, axis=0, mode="clip")
-    w2 = jnp.take(buf, word_idx + 2, axis=0, mode="clip")
+    # barriers: keep each take a standalone fast-path gather (fused into a
+    # consumer loop XLA demotes it to ~10 ns/element serialization)
+    _gb = jax.lax.optimization_barrier
+    w0 = _gb(jnp.take(buf, word_idx, axis=0, mode="clip"))
+    w1 = _gb(jnp.take(buf, word_idx + 1, axis=0, mode="clip"))
+    w2 = _gb(jnp.take(buf, word_idx + 2, axis=0, mode="clip"))
     return w0, w1, w2
 
 
@@ -517,51 +522,53 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
 
             def rk_at(rank):
                 return _owned(d.rk, jnp.clip(rank, 0, n_sa - 1))
-
-            def kt64_at(pos):
-                in_range = (pos < n_sa)[..., None]
-                g = _owned(d.kt64, jnp.clip(pos, 0, n_sa - 1))
-                return jnp.where(in_range, g, FULL)
         else:
+            # optimization barrier around every HBM row gather: without it
+            # XLA fuses the gather into its consumer fusion and DEMOTES it
+            # to a serialized element-at-a-time path — measured 30 us per
+            # 4096-lane rk gather inside the fused step-1 program vs
+            # 0.9 us for the identical gather standalone (xplane trace,
+            # 2026-08-20; the gathers were 171 of ~390 ms/batch). The
+            # barrier pins the gather as a standalone fast-path op.
+            _gb = jax.lax.optimization_barrier
+
             def sa_at(rank):
-                return jnp.take(d.sa, jnp.clip(rank, 0, n_sa - 1),
-                                mode="clip")
+                return _gb(jnp.take(d.sa, jnp.clip(rank, 0, n_sa - 1),
+                                    mode="clip"))
 
             def key2_at(rank):
-                g = jnp.take(d.key2, jnp.clip(rank, 0, n_sa - 1), axis=0,
-                             mode="clip")
+                g = _gb(jnp.take(d.key2, jnp.clip(rank, 0, n_sa - 1), axis=0,
+                                 mode="clip"))
                 return g[..., 0], g[..., 1]
 
             def ktext_at(pos):
                 in_range = pos < n_sa
-                g = jnp.take(d.ktext, jnp.clip(pos, 0, n_sa - 1), axis=0,
-                             mode="clip")
+                g = _gb(jnp.take(d.ktext, jnp.clip(pos, 0, n_sa - 1), axis=0,
+                                 mode="clip"))
                 skhi = jnp.where(in_range, g[..., 0], FULL)
                 sklo = jnp.where(in_range, g[..., 1], FULL)
                 return skhi, sklo
 
             def rk_at(rank):
-                return jnp.take(d.rk, jnp.clip(rank, 0, n_sa - 1), axis=0,
-                                mode="clip")
-
-            def kt64_at(pos):
-                in_range = (pos < n_sa)[..., None]
-                g = jnp.take(d.kt64, jnp.clip(pos, 0, n_sa - 1), axis=0,
-                             mode="clip")
-                return jnp.where(in_range, g, FULL)
+                return _gb(jnp.take(d.rk, jnp.clip(rank, 0, n_sa - 1), axis=0,
+                                    mode="clip"))
 
         def kmer_window(khi, klo):
             m = (khi >> jnp.uint32(32 - 2 * kmer_bits)).astype(jnp.int32)
-            lo = jnp.take(d.kmer_table, m, mode="clip")
-            hi = jnp.take(d.kmer_table, m + 1, mode="clip")
+            _gb = jax.lax.optimization_barrier
+            lo = _gb(jnp.take(d.kmer_table, m, mode="clip"))
+            hi = _gb(jnp.take(d.kmer_table, m + 1, mode="clip"))
             return lo, hi
 
         def prmi_window(khi, klo):
             leaf = (khi >> shift).astype(jnp.int32)
             rel = (khi & rel_mask).astype(jnp.float32) * jnp.float32(4294967296.0) \
                 + klo.astype(jnp.float32)
-            # one fused 24-byte row gather: (ls, le, alpha, beta, elo, ehi)
-            rec = jnp.take(d.params, leaf, axis=0, mode="clip")
+            # one fused 24-byte row gather: (ls, le, alpha, beta, elo, ehi);
+            # barrier keeps it on the fast standalone-gather path (see the
+            # accessor note above)
+            rec = jax.lax.optimization_barrier(
+                jnp.take(d.params, leaf, axis=0, mode="clip"))
             alpha = jax.lax.bitcast_convert_type(rec[..., 2], jnp.float32)
             beta = jax.lax.bitcast_convert_type(rec[..., 3], jnp.float32)
             elo = rec[..., 4].astype(jnp.int32)
@@ -722,29 +729,57 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             return less, lcp
 
         def make_ctx_rk(qbuf32, row, pivot):
-            """Prefetch the pattern's aligned 16-base words for (row, pivot):
-            ONE contiguous row gather + in-register shifts. Every probe round
-            then reads pattern words from registers — no qbuf gathers."""
+            """Prefetch the pattern's aligned 16-base words for (row, pivot)
+            as K+1 statically-unrolled FLAT gathers + in-register shifts.
+            Every probe round then reads pattern words from registers — no
+            qbuf gathers. Flat axis-0 element gathers, NOT take_along_axis:
+            a lane-axis take_along_axis lowers to a serialized in-fusion
+            gather (measured 406 us per (4096, 12) extraction vs ~2 us for
+            the unrolled flat form — xplane trace 2026-08-20)."""
             W = qbuf32.shape[1]
-            qrow = jnp.take(qbuf32, row, axis=0, mode="clip")   # (L, W)
-            base = pivot >> 4
-            kk = jnp.arange(n_ctx_words + 1, dtype=jnp.int32)
-            idx = jnp.clip(base[:, None] + kk[None, :], 0, W - 1)
-            w = jnp.take_along_axis(qrow, idx, axis=1)          # (L, K+1)
-            sh = (pivot.astype(jnp.uint32) & jnp.uint32(15))[:, None] * jnp.uint32(2)
-            return _combine(w[:, :-1], w[:, 1:], sh)            # (L, K)
+            flat = qbuf32.reshape(-1)
+            base0 = row * W + jnp.minimum(pivot >> 4, W - 1)
+            last = (row + 1) * W - 1
+            cols = [jax.lax.optimization_barrier(
+                        jnp.take(flat, jnp.minimum(base0 + k, last),
+                                 mode="clip"))
+                    for k in range(n_ctx_words + 1)]
+            sh = (pivot.astype(jnp.uint32) & jnp.uint32(15)) * jnp.uint32(2)
+            # ctx = TUPLE of (L,) word vectors (no (L, K) plane: consumers
+            # read single columns, and tuples tile/concat cheaply)
+            return tuple(_combine(cols[k], cols[k + 1], sh)
+                         for k in range(n_ctx_words))
+
+        def text64_at(pos):
+            """64 text bases at position pos as 4 packed 16-base words,
+            straight from the ~50 MB packed text: 5 consecutive word takes
+            + per-lane shifts. Replaces the former 3.2 GB kt64 plane —
+            measured 2026-08-20: the moment a program touched that second
+            multi-GB host-uploaded plane, EVERY subsequent gather in the
+            process degraded ~100x (2 us -> 195 us, persistently); deep
+            reads from the small resident text keep the device in the
+            fast state, and mode 4 drops to 16 B/suffix. Word-exact match
+            with the old rows: the packed text carries all-T guard words
+            and clip pins past-the-end reads to them, mirroring the keys'
+            T-padding."""
+            base = (pos >> 4).astype(jnp.int32 if not wide else jnp.int64)
+            w = [jax.lax.optimization_barrier(
+                     jnp.take(d.text32, base + j, mode="clip"))
+                 for j in range(5)]
+            sh = (pos.astype(jnp.uint32) & jnp.uint32(15)) * jnp.uint32(2)
+            in_range = pos < n_sa
+            return [jnp.where(in_range, _combine(w[j], w[j + 1], sh), FULL)
+                    for j in range(4)]
 
         def cmp_ctx_rk(aw, v, sa_idx):
             """(less, lcp) of suffix rank sa_idx vs the ctx pattern[:v]:
             rank row (position + 48 bases) in ONE 16-byte gather, deeper
-            bases in independent 64-base text-position rows.
+            bases read straight from the packed text (text64_at).
 
-            The deep rows are LAZY: each 64-base segment's gather runs
-            under a batch-wide lax.cond, so probe rounds where every lane
-            resolves within the stored 48 bases (most early binary-search
-            rounds) skip the kt64 traffic entirely — row gathers are the
-            dominant per-round cost on real chips (~0.1 ms per 4096-lane
-            16-byte row gather, measured 2026-08). Identical results by
+            The deep segments are LAZY: each one's reads run under a
+            batch-wide lax.cond, so probe rounds where every lane resolves
+            within the stored 48 bases (most early binary-search rounds)
+            skip the text traffic entirely. Identical results by
             construction: resolved lanes keep their values either way."""
             idx = jnp.clip(sa_idx, 0, n_sa - 1)
             r0 = rk_at(idx)                               # (..., 4) / (..., 5)
@@ -760,11 +795,11 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             # broadcast over the candidate axis
             if jnp.ndim(sa_idx) == 2:
                 def _w(k):
-                    return aw[:, k][:, None]
+                    return aw[k][:, None]
                 v = v[:, None] if jnp.ndim(v) == 1 else v
             else:
                 def _w(k):
-                    return aw[:, k]
+                    return aw[k]
             less, l48 = _multiword_cmp(
                 [r0[..., kw], r0[..., kw + 1], r0[..., kw + 2]],
                 [_w(0), _w(1), _w(2)], 48)
@@ -774,8 +809,8 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             less = jnp.where(diffb, less, False)
             resolved = diffb | (v <= 48)
             st = (less, lcp, resolved)
-            # deep-segment laziness is tunable: each lax.cond saves two
-            # kt64 row gathers when every lane resolves early, but costs a
+            # deep-segment laziness is tunable: each lax.cond saves the
+            # text word reads when every lane resolves early, but costs a
             # batch-wide any() reduction per probe round — on op-count-
             # bound chips eager can win (BWAMEME_EAGER_DEEP=k runs the
             # first k segments unconditionally; default 0 = all lazy)
@@ -787,9 +822,9 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
 
                 def deep(st, _off=off, _k=k):
                     less, lcp, resolved = st
-                    dr = kt64_at(sa_pos + _off)                 # (..., 4)
+                    dr = text64_at(sa_pos + _off)               # 4 words
                     lk, l64 = _multiword_cmp(
-                        [dr[..., 0], dr[..., 1], dr[..., 2], dr[..., 3]],
+                        [dr[0], dr[1], dr[2], dr[3]],
                         [_w(3 + 4 * _k), _w(4 + 4 * _k),
                          _w(5 + 4 * _k), _w(6 + 4 * _k)], 64)
                     rem = v - _off
@@ -819,10 +854,10 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             cmp_ctx = cmp_ctx_rk
 
             def ctx_tile(aw, n):
-                return jnp.concatenate([aw] * n)
+                return tuple(jnp.concatenate([c] * n) for c in aw)
 
             def ctx_first_words(aw):
-                return aw[:, 0], aw[:, 1]
+                return aw[0], aw[1]
 
             def suffix_cmp(qbuf32, row, pivot, v, sa_idx):
                 return cmp_ctx_rk(make_ctx_rk(qbuf32, row, pivot), v, sa_idx)

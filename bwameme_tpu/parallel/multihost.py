@@ -19,11 +19,15 @@ scales the same way with threads: kt_for 512-read blocks,
 
 SAM output is byte-identical to a single-process run: per-read ids are
 assigned from the global slice offset (mem_mark_primary_se hash seed,
-/root/reference/src/bwamem.cpp:2002). Paired-end runs ride a FIXED
-insert-size distribution (the reference's ``-I`` override,
-/root/reference/src/fastmap.cpp:1346-1360) — chunk-global pestat over
-DCN is the one piece this protocol defers (each process would gather
-insert observations with a process_allgather before finalizing).
+/root/reference/src/bwamem.cpp:2002). Paired-end insert-size statistics
+are CHUNK-GLOBAL over DCN: each process collects its local insert
+observations (pairing.pestat_isize), allgathers them across processes,
+and computes the stats over the union (pairing.pestat_from_isize) —
+exactly the reference's whole-chunk mem_pestat
+(/root/reference/src/bwamem_pair.cpp:81-149), and the only genuinely
+distributed computation in the protocol. A fixed ``-I`` distribution
+(the reference's override, /root/reference/src/fastmap.cpp:1346-1360)
+remains available via Aligner(pes0=...).
 
 Run standalone:  python -m bwameme_tpu.parallel.multihost [n_procs]
 Env-gated test:  BWAMEME_TEST_MULTIHOST=1 pytest tests/test_multihost.py
@@ -32,6 +36,7 @@ Env-gated test:  BWAMEME_TEST_MULTIHOST=1 pytest tests/test_multihost.py
 from __future__ import annotations
 
 import os
+import socket
 import subprocess
 import sys
 import tempfile
@@ -39,8 +44,16 @@ import time
 
 import numpy as np
 
-_PORT = 29677
 _LOCAL_DEVICES = 4
+
+
+def _free_port() -> int:
+    """Bind-and-release a free TCP port for the coordinator (a fixed port
+    collides when two runs execute concurrently, e.g. the env-gated pytest
+    next to a dryrun)."""
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
 
 
 def _workload():
@@ -49,16 +62,35 @@ def _workload():
     return _build_workload(np.random.default_rng(0))
 
 
-def _pes0():
-    """Fixed FR insert distribution (the -I analog, matching cli.py's
-    -I construction) for PE finalization."""
-    from bwameme_tpu.align.pairing import PeStat
+def _gathered_pestat(opt, l_pac, deduped):
+    """Chunk-global insert-size stats over DCN: allgather every process's
+    local per-orientation observations and compute the stats over the
+    union — the distributed mem_pestat (reference:
+    src/bwamem_pair.cpp:81-149 runs over the WHOLE chunk before PE
+    finalization; a process slice alone would bias the percentiles).
+    Observations are concatenated in process order, so the merged lists
+    equal the single-process chunk's lists element-for-element."""
+    from jax.experimental import multihost_utils
 
-    fr = PeStat(low=1, high=710, failed=0, avg=350.0, std=90.0)
-    return [PeStat(failed=1), fr, PeStat(failed=1), PeStat(failed=1)]
+    from bwameme_tpu.align import pairing
+
+    local = pairing.pestat_isize(opt, l_pac, deduped)
+    counts = np.array([len(x) for x in local], np.int32)
+    all_counts = np.asarray(multihost_utils.process_allgather(counts))
+    mx = max(1, int(all_counts.max()))
+    pad = np.zeros((4, mx), np.int64)
+    for d in range(4):
+        pad[d, : counts[d]] = local[d]
+    gathered = np.asarray(multihost_utils.process_allgather(pad))
+    merged = [
+        [int(v) for p in range(gathered.shape[0])
+         for v in gathered[p, d, : all_counts[p, d]]]
+        for d in range(4)
+    ]
+    return pairing.pestat_from_isize(merged)
 
 
-def worker_main(pid: int, n_procs: int, workdir: str) -> None:
+def worker_main(pid: int, n_procs: int, workdir: str, port: int) -> None:
     # NOTE: XLA_FLAGS/JAX_PLATFORMS must be in the env at interpreter
     # start (the container's sitecustomize touches jax first) — the
     # launcher sets them on the Popen env; here we only pin the config.
@@ -66,7 +98,7 @@ def worker_main(pid: int, n_procs: int, workdir: str) -> None:
 
     jax.config.update("jax_platforms", "cpu")
     jax.distributed.initialize(
-        coordinator_address=f"127.0.0.1:{_PORT}",
+        coordinator_address=f"127.0.0.1:{port}",
         num_processes=n_procs, process_id=pid)
     assert jax.process_count() == n_procs
     assert jax.device_count() == n_procs * _LOCAL_DEVICES
@@ -103,14 +135,19 @@ def worker_main(pid: int, n_procs: int, workdir: str) -> None:
     with open(os.path.join(workdir, f"out_se_{pid}.sam"), "w") as f:
         f.write("".join(sam))
 
-    # PE slice (fixed -I insert stats; see module docstring)
+    # PE slice with chunk-GLOBAL insert statistics: kernels run on the
+    # local slice, the pestat observations allgather over DCN, then
+    # finalization uses the union's stats (== single-process mem_pestat)
     opt_pe = MemOptions()
     opt_pe.flag |= 2
     pairs = list(_iter_records(os.path.join(workdir, f"chunk_pe_{pid}.fq")))
     base_pe = int(open(os.path.join(workdir, f"base_pe_{pid}")).read())
-    al_pe = Aligner(idx, opt_pe, seeding_engine=eng, pes0=_pes0())
+    al_pe = Aligner(idx, opt_pe, seeding_engine=eng)
     al_pe.n_processed = base_pe
-    sam_pe = al_pe.align_pairs(pairs)
+    recs_pe = [al_pe._encode(r) for r in pairs]
+    deduped = al_pe._pe_kernels(recs_pe)
+    pes = _gathered_pestat(opt_pe, idx.bns.l_pac, deduped)
+    sam_pe = al_pe._pe_finalize(recs_pe, deduped, pes)
     with open(os.path.join(workdir, f"out_pe_{pid}.sam"), "w") as f:
         f.write("".join(sam_pe))
 
@@ -131,12 +168,14 @@ def run_multihost(n_procs: int = 2, workdir: str | None = None,
     workdir = workdir or tempfile.mkdtemp(prefix="bwameme_mh_")
     idx, se_reads, pe_reads = _workload()
 
-    # single-process oracle (host engine), with the SAME pes0 contract
+    # single-process oracle (host engine); PE infers its insert stats from
+    # the whole chunk — the workers must reproduce this exactly via the
+    # DCN allgather (no -I crutch)
     opt = MemOptions()
     sam_se_base = Aligner(idx, opt).align_batch(se_reads)
     opt_pe = MemOptions()
     opt_pe.flag |= 2
-    sam_pe_base = Aligner(idx, opt_pe, pes0=_pes0()).align_pairs(pe_reads)
+    sam_pe_base = Aligner(idx, opt_pe).align_pairs(pe_reads)
 
     # FASTQ scatter: contiguous slices (pair-aligned for PE)
     def scatter(reads, tag, even):
@@ -156,20 +195,28 @@ def run_multihost(n_procs: int = 2, workdir: str | None = None,
     scatter(pe_reads, "pe", even=True)
 
     procs = []
+    port = _free_port()
     env = dict(
         os.environ, JAX_PLATFORMS="cpu",
         XLA_FLAGS=f"--xla_force_host_platform_device_count={_LOCAL_DEVICES}")
     for pid in range(n_procs):
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "bwameme_tpu.parallel.multihost",
-             "--worker", str(pid), str(n_procs), workdir],
+             "--worker", str(pid), str(n_procs), workdir, str(port)],
             env=env, cwd=os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))))))
     t0 = time.time()
-    for p in procs:
-        rem = max(10.0, timeout - (time.time() - t0))
-        rc = p.wait(timeout=rem)
-        assert rc == 0, f"worker exited rc={rc}"
+    try:
+        for p in procs:
+            rem = max(10.0, timeout - (time.time() - t0))
+            rc = p.wait(timeout=rem)
+            assert rc == 0, f"worker exited rc={rc}"
+    finally:
+        # a timeout/assert must not leak the remaining workers
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
 
     # SAM gather in process order == single-process output
     def gather(tag):
@@ -196,6 +243,7 @@ def run_multihost(n_procs: int = 2, workdir: str | None = None,
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        worker_main(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        worker_main(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+                    int(sys.argv[5]))
     else:
         run_multihost(int(sys.argv[1]) if len(sys.argv) > 1 else 2)

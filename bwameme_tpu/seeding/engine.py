@@ -149,6 +149,16 @@ class DeviceSeedingEngine:
                 mw = int(max(np.max(
                     np.asarray(self.idx.rmi_err_lo, np.int64)
                     + np.asarray(self.idx.rmi_err_hi, np.int64)), 1))
+            import os as _os3
+
+            # AOT-cache key for every program this tier builds: max_width
+            # sets the lb_rounds unroll; the env knobs change the traced
+            # body (see aot_cache.aot_jit key_extra)
+            self._trace_key = (
+                self.root, mw, self.di.n_sa, bucket,
+                _os3.environ.get("BWAMEME_EAGER_DEEP", "0"),
+                _os3.environ.get("BWAMEME_WINDOW_PROBE", "0"),
+                _os3.environ.get("BWAMEME_WINDOW_CAP", "34"))
             self.fns = make_search_fns(
                 self.di, max_read_words=-(-bucket // 16), root=self.root,
                 mesh=self.mesh, shard_axis=self.index_axis, max_width=mw)
@@ -182,8 +192,13 @@ class DeviceSeedingEngine:
         if self.mesh is None:
             from bwameme_tpu.utils.aot_cache import aot_jit
 
+            # trace-time parameters baked into the program but invisible in
+            # arg shapes (lb_rounds unroll from the index's error window,
+            # trace-time env knobs) ride the cache key — a retrained index
+            # with identical shapes must not reuse a stale executable
             return aot_jit(fn, name=getattr(fn, "__name__", "prog"),
-                           static_argnames=static_argnames)
+                           static_argnames=static_argnames,
+                           key_extra=getattr(self, "_trace_key", None))
         from bwameme_tpu.ops.sa_search import shard_wrap
 
         cache = {}
@@ -786,10 +801,24 @@ class DeviceSeedingEngine:
                    M1):
             ks = jnp.arange(M1 + 1, dtype=jnp.int32)
             piv_all = (st1 + en1) >> 1
-            nf_at = jnp.take_along_axis(
-                nf, jnp.clip(piv_all, 0, Lp - 1), axis=1)
-            nf_prev = jnp.take_along_axis(
-                nf, jnp.clip(piv_all - 1, 0, Lp - 1), axis=1)
+            # per-column flat (R,)-index gathers, NOT take_along_axis: a
+            # 2-D-index gather lowers to a serialized ~10 ns/element path
+            # (~1.2 ms per (R, M1+1) extraction, xplane 2026-08-20), while
+            # (R,)-vector gathers ride the fast row-gather hardware; the
+            # barrier keeps them out of consumer fusions
+            nf_f2 = nf.reshape(-1)
+            rows_off = jnp.arange(R, dtype=jnp.int32) * Lp
+
+            def _flat_at(piv):
+                cols = [jax.lax.optimization_barrier(
+                            jnp.take(nf_f2,
+                                     rows_off + jnp.clip(piv[:, k], 0, Lp - 1),
+                                     mode="clip"))
+                        for k in range(M1 + 1)]
+                return jnp.stack(cols, axis=1)
+
+            nf_at = _flat_at(piv_all)
+            nf_prev = _flat_at(piv_all - 1)
             valid_all = ks[None, :] < nsm1[:, None]
             qual_all = (valid_all & (en1 - st1 >= split_len)
                         & (cn1 <= split_width) & (nf_at != piv_all))
@@ -809,16 +838,18 @@ class DeviceSeedingEngine:
             nf_f = nf.reshape(-1)
             nr_f = nr.reshape(-1)
 
+            _gb = jax.lax.optimization_barrier  # keep takes un-demoted
+
             def body(lanes, lens_l, st):
                 def tabf(pos):
-                    return jnp.take(nf_f,
-                                    lanes * Lp + jnp.clip(pos, 0, Lp - 1),
-                                    mode="clip")
+                    return _gb(jnp.take(
+                        nf_f, lanes * Lp + jnp.clip(pos, 0, Lp - 1),
+                        mode="clip"))
 
                 def tabr(pos):
-                    return jnp.take(nr_f,
-                                    lanes * Lp + jnp.clip(pos, 0, Lp - 1),
-                                    mode="clip")
+                    return _gb(jnp.take(
+                        nr_f, lanes * Lp + jnp.clip(pos, 0, Lp - 1),
+                        mode="clip"))
 
                 phase, k = st["phase"], st["k"]
                 p, npv, psp, mi = st["p"], st["npv"], st["psp"], st["mi"]
@@ -826,13 +857,14 @@ class DeviceSeedingEngine:
 
                 is_cur = phase == CURSOR
                 kk = jnp.clip(k, 0, M1)
-                k_next = jnp.take(nq_f, lanes * (M1 + 1) + kk, mode="clip")
+                k_next = _gb(jnp.take(nq_f, lanes * (M1 + 1) + kk,
+                                      mode="clip"))
                 has = k_next <= M1
                 idx_n = lanes * (M1 + 1) + jnp.clip(k_next, 0, M1)
-                s_ = jnp.take(st1f_, idx_n, mode="clip")
-                e_ = jnp.take(en1f_, idx_n, mode="clip")
-                c_ = jnp.take(cn1f_, idx_n, mode="clip")
-                prev_valid = jnp.take(pvf_, idx_n, mode="clip")
+                s_ = _gb(jnp.take(st1f_, idx_n, mode="clip"))
+                e_ = _gb(jnp.take(en1f_, idx_n, mode="clip"))
+                c_ = _gb(jnp.take(cn1f_, idx_n, mode="clip"))
+                prev_valid = _gb(jnp.take(pvf_, idx_n, mode="clip"))
                 piv = (s_ + e_) >> 1
                 ph_from_cur = jnp.where(
                     has, jnp.where(prev_valid, RLEN, REM), DONE2
@@ -1035,8 +1067,11 @@ class DeviceSeedingEngine:
             nvf_f = nvf.reshape(-1)
 
             def tab(tf, lanes, pos):
-                return jnp.take(tf, lanes * Lp + jnp.clip(pos, 0, Lp - 1),
-                                mode="clip")
+                # barrier: un-fused takes ride the fast gather hardware
+                # (in-fusion demotion costs ~12 us vs ~1 us, xplane)
+                return jax.lax.optimization_barrier(
+                    jnp.take(tf, lanes * Lp + jnp.clip(pos, 0, Lp - 1),
+                             mode="clip"))
 
             def skip_ns(lanes, lens_l, pivot):
                 q = tab(nvf_f, lanes, pivot)
@@ -1223,8 +1258,9 @@ class DeviceSeedingEngine:
             nf_f = nf.reshape(-1)
 
             def tab(pos):
-                return jnp.take(nf_f, lane * Lp + jnp.clip(pos, 0, Lp - 1),
-                                mode="clip")
+                return jax.lax.optimization_barrier(
+                    jnp.take(nf_f, lane * Lp + jnp.clip(pos, 0, Lp - 1),
+                             mode="clip"))
 
             def resolve_skips(pv, done):
                 """Advance past N pivots and short valid windows (reference:

@@ -66,12 +66,20 @@ _DEFAULT_SALT_FILES = tuple(
 
 
 def aot_jit(fn, name: str, static_argnames=(), salt_files=None,
-            cache_dir: str | None = None):
+            cache_dir: str | None = None, key_extra=None):
     """jit(fn) with an on-disk executable cache.
 
     Returns a callable with jit semantics for ARRAY arguments; static
     kwargs must be hashable. The executable is keyed on concrete arg
-    shapes/dtypes, so like jit, a new shape set triggers a new entry."""
+    shapes/dtypes, so like jit, a new shape set triggers a new entry.
+
+    key_extra: any repr-able value capturing TRACE-TIME parameters that are
+    baked into the program but invisible in arg shapes/dtypes — e.g. the
+    P-RMI error-window bound that sets the binary-search unroll depth
+    (engine max_width -> sa_search lb_rounds) and trace-time env knobs.
+    An index rebuilt with identical shapes but different window widths
+    MUST NOT reuse a stale executable (it would probe too few rounds and
+    silently return wrong SMEMs), so callers pass those values here."""
     jf = jax.jit(fn, static_argnames=static_argnames)
     salt_files = tuple(salt_files or _DEFAULT_SALT_FILES)
     mem: dict[str, object] = {}
@@ -84,7 +92,7 @@ def aot_jit(fn, name: str, static_argnames=(), salt_files=None,
             args)
         raw = repr((name, spec, tuple(sorted(kwargs.items())),
                     dev.platform, getattr(dev, "device_kind", "?"),
-                    jax.__version__, _source_salt(salt_files)))
+                    jax.__version__, _source_salt(salt_files), key_extra))
         return hashlib.sha256(raw.encode()).hexdigest()[:24]
 
     def call(*args, **kwargs):

@@ -2706,29 +2706,16 @@ int32_t dedup_patch_batch_c(
 // ===========================================================================
 // MODE-4 device-row assembly (ops/sa_search.py:from_host): one
 // cache-friendly pass builds the fused rank rows rkm[r] = (sa[r], key[r],
-// bases 32..48) and the 64-base text-position rows k64[p] (two stacked
-// 32-base keys via the ISA) — replaces four numpy column writes + three
-// 200M-element fancy-index gathers (~115 s -> seconds at 100 Mbp).
+// bases 32..48) — replaces numpy column writes + 200M-element fancy-index
+// gathers (~115 s -> seconds at 100 Mbp). Deep compares past 48 bases read
+// the packed text on device (text64_at), so no text-position plane is
+// assembled here anymore.
 
 extern "C" {
 
 void build_mode4_rows_c(int64_t n, const int64_t* sa, const uint32_t* khi,
                         const uint32_t* klo, const int64_t* isa,
-                        uint32_t* rkm, uint32_t* k64, int32_t wide) {
-  for (int64_t p = 0; p < n; ++p) {
-    uint32_t* row = k64 + 4 * p;
-    int64_t r = isa[p];
-    row[0] = khi[r];
-    row[1] = klo[r];
-    if (p + 32 < n) {
-      int64_t r2 = isa[p + 32];
-      row[2] = khi[r2];
-      row[3] = klo[r2];
-    } else {
-      row[2] = 0xFFFFFFFFu;
-      row[3] = 0xFFFFFFFFu;
-    }
-  }
+                        uint32_t* rkm, int32_t wide) {
   // wide (>2^31-suffix texts): 5-word rows (pos_lo, pos_hi, khi, klo, b48)
   const int64_t rw = wide ? 5 : 4;
   const int64_t kw = wide ? 2 : 1;

@@ -188,17 +188,9 @@ def test_build_mode4_rows_matches_numpy():
     isa[sa] = np.arange(n)
     key_hi = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
     key_lo = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
-    got = native.build_mode4_rows_native(sa, key_hi, key_lo, isa)
-    assert got is not None
-    rkm_n, k64_n = got
+    rkm_n = native.build_mode4_rows_native(sa, key_hi, key_lo, isa)
+    assert rkm_n is not None
     kh_t = key_hi[isa]
-    kl_t = key_lo[isa]
-    k64 = np.empty((n, 4), np.uint32)
-    k64[:, 0] = kh_t
-    k64[:, 1] = kl_t
-    k64[:-32, 2] = kh_t[32:]
-    k64[:-32, 3] = kl_t[32:]
-    k64[-32:, 2:] = 0xFFFFFFFF
     rkm = np.empty((n, 4), np.uint32)
     rkm[:, 0] = sa.astype(np.uint32)
     rkm[:, 1] = key_hi
@@ -206,5 +198,4 @@ def test_build_mode4_rows_matches_numpy():
     nxt = sa + 32
     rkm[:, 3] = np.where(nxt < n, kh_t[np.minimum(nxt, n - 1)],
                          np.uint32(0xFFFFFFFF))
-    assert np.array_equal(k64_n, k64)
     assert np.array_equal(rkm_n, rkm)
