@@ -88,3 +88,26 @@ def ref_bin():
     except Exception as e:
         pytest.skip(f"reference build failed: {e}")
     return path
+
+
+# ---------------------------------------------------------------- tiering
+# Default `pytest -q` must give a green signal inside a CI-style budget
+# (< 10 min on a 1-vCPU host; the full suite is ~25 min). Heavy tests are
+# marked `slow` and skipped unless the full tier is requested:
+#     BWAMEME_FULL=1 python -m pytest tests/ -q     (everything)
+#     python -m pytest tests/ -q -m slow            (only the slow tier)
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy test (run with BWAMEME_FULL=1 or -m slow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    if os.environ.get("BWAMEME_FULL") == "1" or config.getoption("-m"):
+        return
+    skip = _pytest.mark.skip(
+        reason="slow tier (set BWAMEME_FULL=1 or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -81,6 +81,7 @@ def test_cli_mem_pe(workdir):
     assert any(fl & 0x40 for fl in flags) and any(fl & 0x80 for fl in flags)
 
 
+@pytest.mark.slow
 def test_cli_mem_shards(workdir):
     """--shards N: the CLI runs the device engine over an index-sharded
     mesh (virtual CPU devices) and emits the same SAM as single-device."""

@@ -57,6 +57,7 @@ def test_kmer_entry_codec():
     assert (p2 == ptrw).all() and (o2 == off).all()
 
 
+@pytest.mark.slow
 def test_kmer_table_reference_interchange(small, tmp_path):
     """Round-trip the reference `.kmer_table` layout and check the decoded
     class/hit/LEP semantics against a brute-force oracle that never touches

@@ -45,7 +45,11 @@ def _sample(idx, rng, length, k=6):
     return reads
 
 
-@pytest.mark.parametrize("length", [151, 200, 300, 500])
+@pytest.mark.parametrize("length", [
+    151, 200,
+    pytest.param(300, marks=pytest.mark.slow),
+    pytest.param(500, marks=pytest.mark.slow),
+])
 def test_tier_parity(setup, length):
     host_eng, dev_eng, idx, rng = setup
     reads = _sample(idx, rng, length)
@@ -57,6 +61,7 @@ def test_tier_parity(setup, length):
         assert hs == ds, (length, ri)
 
 
+@pytest.mark.slow
 def test_tier_best_fit_per_batch(setup):
     _, dev_eng, idx, rng = setup
     dev_eng.sorted_smems_batch(_sample(idx, rng, 180, k=2))
@@ -75,6 +80,7 @@ def test_beyond_ceiling_fails_cleanly(setup):
         dev_eng.sorted_smems_batch(_sample(idx, rng, 600, k=1))
 
 
+@pytest.mark.slow
 def test_aligner_end_to_end_mixed_lengths(setup):
     """500 bp reads align through the device engine (VERDICT item 4)."""
     from bwameme_tpu.io.fastq import Read

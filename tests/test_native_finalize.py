@@ -143,6 +143,7 @@ def test_native_dedup_matches_python(world):
     assert n_multi > 0  # the workload must actually exercise multi-reg dedup
 
 
+@pytest.mark.slow
 def test_native_pe_matches_python(world):
     """align_pairs with the native mem_pair+mem_sam_pe vs the Python
     contract — identical SAM (covers pairing mapq, TLEN/MC, proper-pair

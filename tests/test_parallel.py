@@ -40,6 +40,7 @@ def test_mesh_se_identity(par_workload, par_oracle, mesh8_engine):
     assert al.align_batch(se_reads) == sam_se_base
 
 
+@pytest.mark.slow
 def test_mesh_pe_identity(par_workload, par_oracle, mesh8_engine):
     from bwameme_tpu.pipeline import Aligner
 
@@ -49,6 +50,7 @@ def test_mesh_pe_identity(par_workload, par_oracle, mesh8_engine):
     assert al.align_pairs(pe_reads) == sam_pe_base
 
 
+@pytest.mark.slow
 def test_shard_count_agreement(par_workload, par_oracle, mesh8_engine):
     """Seeding agrees at 1/2/8 shards (the dryrun's scaling probe)."""
     from bwameme_tpu.parallel.dryrun import _scaling_probe

@@ -34,6 +34,7 @@ def dp_parts(par_workload):
     return mesh, factory_for
 
 
+@pytest.mark.slow
 def test_dp_mesh_se(par_workload, par_oracle, dp_parts):
     from bwameme_tpu.parallel.dp import DataParallelAligner
 
@@ -45,6 +46,7 @@ def test_dp_mesh_se(par_workload, par_oracle, dp_parts):
     assert al.align_batch(se_reads) == sam_se_base
 
 
+@pytest.mark.slow
 def test_dp_mesh_pe(par_workload, par_oracle, dp_parts):
     from bwameme_tpu.parallel.dp import DataParallelAligner
 

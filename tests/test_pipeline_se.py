@@ -207,6 +207,7 @@ def test_xa_tag_on_duplicated_region(setup):
     assert positions == [101, 2601], (positions, r)
 
 
+@pytest.mark.slow
 def test_align_stream_matches_align_batch(setup):
     idx, aligner, rng = setup
     from bwameme_tpu.seeding.engine import DeviceSeedingEngine

@@ -58,7 +58,11 @@ def _smems(eng, reads):
             for sm in eng.sorted_smems_batch(reads)]
 
 
-@pytest.mark.parametrize("mode", [1, 2, 3, 4])
+@pytest.mark.parametrize("mode", [
+    1, 2,
+    pytest.param(3, marks=pytest.mark.slow),
+    pytest.param(4, marks=pytest.mark.slow),
+])
 def test_wide_matches_int32_single_device(small, mode):
     idx, opt, reads = small
     base = DeviceSeedingEngine(idx, opt, mode=mode)
@@ -73,6 +77,7 @@ def test_wide_matches_int32_single_device(small, mode):
 
 
 @pytest.mark.parametrize("mode", [3, 4])
+@pytest.mark.slow
 def test_wide_matches_host_oracle_on_mesh(small, mode):
     import jax
     from jax.sharding import Mesh
@@ -88,6 +93,7 @@ def test_wide_matches_host_oracle_on_mesh(small, mode):
     assert got == want
 
 
+@pytest.mark.slow
 def test_wide_fused_steps(small):
     """The fused step-2/3 dispatches (off by default in tests) under wide
     int64 slot planes."""
