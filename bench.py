@@ -140,6 +140,113 @@ def _log(msg):
     print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
+def measure_utilization(eng, reads):
+    """Device-utilization block for the JSON (VERDICT r4 #7): per-stage
+    device time for one serialized batch, the chip's practical copy
+    bandwidth, and the dependent-gather round-trip — the number that
+    exposes the tunnel's degraded-gather state (healthy ~1-2 us/round;
+    degraded ~30-200 us, see ops/sa_search.py:text64_at note)."""
+    import jax
+    import jax.numpy as jnp
+
+    u = {}
+    try:
+        batch = reads[:BATCH]
+        import bwameme_tpu.seeding.engine as _e  # noqa: F401
+        from bwameme_tpu.utils.timer import tstage  # noqa: F401
+
+        opt = eng.opt
+        mat, _rcm, lens_np, maxlen = eng._batch_matrix(batch)
+        eng._select_tier(maxlen)
+        lens = jnp.asarray(lens_np.astype(np.int32))
+        t0 = time.time()
+        d = eng._prep_dev(jnp.asarray(mat), lens)
+        jax.block_until_ready(d)
+        u["prep_ms"] = round((time.time() - t0) * 1e3, 1)
+        qbuf, nf, nr, nvf = d
+        M, M2 = eng.max_smems, 16
+        t0 = time.time()
+        d1 = eng._fused_step1(eng.di, qbuf, nf, nr, nvf, lens,
+                              jnp.int32(opt.min_seed_len), M=M)
+        jax.block_until_ready(d1)
+        u["step1_ms"] = round((time.time() - t0) * 1e3, 1)
+        t0 = time.time()
+        d2 = eng._fused_step2(eng.di, qbuf, nf, nr, lens, d1[0][0], d1[0][1],
+                              d1[0][3], d1[1], jnp.int32(opt.split_len),
+                              jnp.int32(opt.split_width),
+                              jnp.int32(opt.min_seed_len), M1=M, M2=M2)
+        jax.block_until_ready(d2)
+        u["step2_ms"] = round((time.time() - t0) * 1e3, 1)
+        t0 = time.time()
+        d3 = eng._fused_step3(eng.di, qbuf, nf, lens,
+                              jnp.int32(opt.max_mem_intv),
+                              jnp.int32(opt.min_seed_len + 1), M=M)
+        jax.block_until_ready(d3)
+        u["step3_ms"] = round((time.time() - t0) * 1e3, 1)
+        t0 = time.time()
+        packed = eng._pack([d1, d2, d3], len(batch) * eng.pack_cap_per_read)
+        jax.block_until_ready(packed)
+        u["pack_ms"] = round((time.time() - t0) * 1e3, 1)
+        t0 = time.time()
+        np.asarray(packed[0] if isinstance(packed, tuple) else packed)
+        u["xfer_ms"] = round((time.time() - t0) * 1e3, 1)
+    except Exception as e:  # never fail the bench over diagnostics
+        u["stage_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+
+    try:
+        # gather health: K dependent 4096-lane row gathers on the rk plane
+        di = eng.di
+        n_sa = di.n_sa
+        K = 30
+        src = di.rk if di.rk is not None else di.sa
+
+        @jax.jit
+        def chain(t, x0):
+            def body(k, st):
+                acc, x = st
+                r0 = jnp.take(t, jnp.clip(x, 0, n_sa - 1), axis=0,
+                              mode="clip")
+                w = (r0[..., 1] if r0.ndim > 1 else r0).astype(jnp.int32)
+                x = jax.lax.rem(x * jnp.int32(1103515245) + w,
+                                jnp.int32(n_sa))
+                x = jnp.where(x < 0, x + n_sa, x)
+                return acc ^ w, x
+            z = jnp.zeros(4096, jnp.int32)
+            return jax.lax.fori_loop(0, K, body, (z, x0))[0]
+
+        x0 = jnp.asarray(
+            np.random.default_rng(0).integers(0, n_sa, 4096).astype(np.int32))
+        r = jax.block_until_ready(chain(src, x0))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            r = chain(src, x0)
+        jax.block_until_ready(r)
+        u["gather_roundtrip_us"] = round(
+            (time.perf_counter() - t0) / 5 / K * 1e6, 2)
+
+        # practical HBM copy bandwidth (GB/s): 256 MB device-side copy
+        big = jnp.zeros(1 << 26, jnp.float32)
+        cp = jax.jit(lambda a: a + 1.0)
+        jax.block_until_ready(cp(big))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = cp(big)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / 5
+        u["copy_bw_gbps"] = round(2 * big.nbytes / dt / 1e9, 1)
+        if "step1_ms" in u:
+            # rough roofline context: the seeding probes touch ~20 MB of
+            # random rows per batch — at the copy bandwidth that is <1 ms,
+            # so seeding device time is dispatch/latency-bound; report the
+            # ratio so the gap is visible in the artifact
+            u["seed_device_ms"] = round(
+                u.get("step1_ms", 0) + u.get("step2_ms", 0)
+                + u.get("step3_ms", 0), 1)
+    except Exception as e:
+        u["probe_error"] = f"{type(e).__name__}: {str(e)[:120]}"
+    return u
+
+
 def reference_baseline():
     """Reference binary's throughput on this host's CPU over the same
     workload (tools/bench_reference.py). Resolution order: the local
@@ -409,6 +516,9 @@ def main():
         print(f"# FAIL: fused paths fell back during e2e: "
               f"{fallbacks.summary()}", file=sys.stderr)
         sys.exit(1)
+    if _remaining() > 45 and hasattr(eng, "_fused_step1"):
+        _log("utilization probes (per-stage device time, gather health)")
+        out["utilization"] = measure_utilization(eng, reads)
     # scale record: runs at other index sizes stash their result so the
     # default-size run carries the genome-scale ratio too (the reference's
     # raison d'être is big indexes; CPU caches flatter it at toy sizes)

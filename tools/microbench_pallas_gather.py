@@ -11,10 +11,13 @@ This tool measures, on the real chip:
   xla_chain      K dependent 4096-lane row gathers under jit (baseline)
   xla_while      the same chain as a lax.while_loop body (the machinery
                  cost the current engine pays)
-  dma_flat       one Pallas kernel issuing L independent 16 B row DMAs
-                 (all starts, then all waits) -> ns per DMA issue
+  dma_flat       one Pallas kernel issuing L independent 512 B row DMAs
+                 (all starts, then all waits) -> ns per DMA issue.
+                 NOTE: Mosaic on this toolchain compiles DMA row slices
+                 only when the trailing dim is 128 lanes (a (1, 4) slice
+                 crashes the remote compiler), so rows are 128 x uint32
   dma_window     one Pallas kernel fetching a W-row window per lane
-                 (the P-RMI error window, ~256 B per DMA)
+                 (the P-RMI error window as 128-word rows)
   dma_chain      K dependent rounds INSIDE one Pallas kernel (random walk:
                  fetched row -> next index via VMEM->SMEM round trip)
 
@@ -37,7 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-N = int(os.environ.get("MB_N", 1 << 24))       # 16M rows x 16 B = 256 MB
+N = int(os.environ.get("MB_N", 1 << 21))       # 2M rows x 512 B = 1 GB
 L = int(os.environ.get("MB_L", 4096))          # lanes
 K = int(os.environ.get("MB_K", 16))            # dependent rounds
 W = int(os.environ.get("MB_W", 16))            # window rows per lane
@@ -105,13 +108,13 @@ def dma_flat(src, idx):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
     return pl.pallas_call(
         _dma_flat_kernel,
-        out_shape=jax.ShapeDtypeStruct((L, 4), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, 128), jnp.uint32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(idx, src)
@@ -142,13 +145,13 @@ def dma_window(src, idx):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
     return pl.pallas_call(
         _dma_window_kernel,
-        out_shape=jax.ShapeDtypeStruct((L, W, 4), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, W, 128), jnp.uint32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(idx, src)
@@ -201,10 +204,10 @@ def dma_chain(src, idx):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((L, 4), jnp.uint32),   # fetched rows
+            pltpu.VMEM((L, 128), jnp.uint32),  # fetched rows
             pltpu.VMEM((L, 1), jnp.int32),    # next indices (vector land)
             pltpu.SMEM((L, 1), jnp.int32),    # next indices (scalar land)
             pltpu.SemaphoreType.DMA,
@@ -224,7 +227,7 @@ def main():
     print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
           file=sys.stderr)
     rng = np.random.default_rng(0)
-    src = jnp.asarray(rng.integers(0, 1 << 30, (N, 4), dtype=np.int64)
+    src = jnp.asarray(rng.integers(0, 1 << 30, (N, 128), dtype=np.int64)
                       .astype(np.uint32))
     idx = jnp.asarray(rng.integers(0, N, L).astype(np.int32))
     out = {"N": N, "L": L, "K": K, "W": W,
