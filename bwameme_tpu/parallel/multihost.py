@@ -199,6 +199,10 @@ def run_multihost(n_procs: int = 2, workdir: str | None = None,
     env = dict(
         os.environ, JAX_PLATFORMS="cpu",
         XLA_FLAGS=f"--xla_force_host_platform_device_count={_LOCAL_DEVICES}")
+    # CPU workers must not touch the TPU-tunnel plugin at all: with the
+    # tunnel down, its sitecustomize hook blocks `import jax` for minutes
+    # even under JAX_PLATFORMS=cpu (observed 2026-08-21)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     for pid in range(n_procs):
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "bwameme_tpu.parallel.multihost",

@@ -107,6 +107,10 @@ class DeviceSeedingEngine:
         _f23 = _os.environ.get("BWAMEME_FUSE_STEPS23", "1") == "1"
         self.fuse_step3 = _f23
         self.fuse_step2 = _f23
+        # sort-free device compaction + host-side (start, end) ordering;
+        # see _build_pack (device lexsort is a degraded-state suspect)
+        self.pack_nosort = _os.environ.get("BWAMEME_PACK_NOSORT",
+                                           "0") == "1"
         self._pack = self._build_pack()
         # per-read average emission capacity of the packed (compacted)
         # result transfer; overflow falls back to the full slot transfer
@@ -247,6 +251,29 @@ class DeviceSeedingEngine:
             cn = jnp.concatenate(cns, axis=1)
             valid = jnp.concatenate(vals, axis=1)
             Mt = st.shape[1]
+            if self.pack_nosort:
+                # SORT-FREE compaction: cumsum positions + scatter in
+                # source (read-major) order; the (start, end) ordering the
+                # chainer needs is restored host-side in finish_batch_flat
+                # (one np.lexsort over the dense entries). Device sort is
+                # skipped entirely — the device-side lexsort program is a
+                # suspect for the tunnel's degraded-gather trigger.
+                vflat = valid.reshape(-1)
+                pos = jnp.cumsum(vflat.astype(jnp.int32)) - 1
+                tgt = jnp.where(vflat, pos, cap)  # cap = OOB -> dropped
+                stp = jnp.zeros(cap, jnp.int32).at[tgt].set(
+                    st.reshape(-1), mode="drop")
+                enp = jnp.zeros(cap, jnp.int32).at[tgt].set(
+                    en.reshape(-1), mode="drop")
+                sten = (stp << 10) | jnp.minimum(enp, 1023)
+                lbp = jnp.zeros(cap, lb.dtype).at[tgt].set(
+                    lb.reshape(-1), mode="drop")
+                cnp = jnp.zeros(cap, cn.dtype).at[tgt].set(
+                    cn.reshape(-1), mode="drop")
+                counts = valid.sum(axis=1, dtype=jnp.int32)
+                if lbp.dtype == jnp.int32:
+                    return jnp.concatenate([counts, sten, lbp, cnp])
+                return jnp.stack([sten.astype(lbp.dtype), lbp, cnp]), counts
             read = jax.lax.broadcasted_iota(jnp.int32, (R, Mt), 0)
             read = jnp.where(valid, read, R)  # invalid rows sort last
             # stable 3-key lexsort == python sorted(key=(start, end)) with
@@ -270,7 +297,8 @@ class DeviceSeedingEngine:
 
         from bwameme_tpu.utils.aot_cache import aot_jit
 
-        jitted = aot_jit(pack, name="pack", static_argnames=("cap",))
+        jitted = aot_jit(pack, name="pack", static_argnames=("cap",),
+                         key_extra=("nosort", self.pack_nosort))
 
         def run(pairs, cap):
             flat = []
@@ -563,12 +591,19 @@ class DeviceSeedingEngine:
         smem_off = np.zeros(R + 1, np.int32)
         np.cumsum(counts, out=smem_off[1:])
         sten = sten_row[:total]
-        start = sten >> 10
-        end = sten & 1023
-        return FlatSmems(smem_off, start.astype(np.int32),
-                         end.astype(np.int32),
-                         lb_row[:total].astype(np.int64),
-                         cn_row[:total].astype(np.int64))
+        start = (sten >> 10).astype(np.int32)
+        end = (sten & 1023).astype(np.int32)
+        lb = lb_row[:total].astype(np.int64)
+        cn = cn_row[:total].astype(np.int64)
+        if self.pack_nosort:
+            # device compaction was sort-free (source order, grouped by
+            # read): restore the (read, start, end) mem_smem_sort_lt order
+            # here with one vectorized lexsort (~ms at 100K entries)
+            read_ids = np.repeat(np.arange(R, dtype=np.int32), counts)
+            order = np.lexsort((end, start, read_ids))
+            start, end, lb, cn = (start[order], end[order], lb[order],
+                                  cn[order])
+        return FlatSmems(smem_off, start, end, lb, cn)
 
     def finish_batch(self, token) -> list[list[Smem]]:
         """Materialize a submit_batch token into per-read SMEM lists."""
