@@ -179,6 +179,26 @@ def run_dryrun(n_devices: int) -> None:
         print(f"[dryrun] 2-process multihost SE+PE: {time.time()-t0:.1f}s",
               file=sys.stderr)
 
+    # ---- optional wide-mode dress rehearsal at > 2^31 suffixes ----
+    # The analytic jumbo index (periodic text, closed-form SA/query
+    # answers) runs the 8-shard wide search with ranks genuinely past
+    # int32 — human-scale coordinates exercised end-to-end without a
+    # human-scale build. Opt-in: ~60 GB host RAM + minutes.
+    if os.environ.get("BWAMEME_DRYRUN_JUMBO") == "1" and remaining() > 600:
+        import subprocess
+
+        t0 = time.time()
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x",
+             "tests/test_wide.py::test_jumbo_over_int31"],
+            cwd=repo, env=dict(os.environ, BWAMEME_JUMBO="1"),
+            timeout=max(60, remaining() - 30))
+        assert r.returncode == 0, "jumbo wide-mode stage failed"
+        print(f"[dryrun] jumbo >2^31-suffix wide stage: "
+              f"{time.time()-t0:.1f}s", file=sys.stderr)
+
     # ---- seeding scaling probe over shard counts (informational) ----
     if remaining() > 120:
         shard_counts = sorted({1, 2} & set(range(1, n_devices + 1)))
