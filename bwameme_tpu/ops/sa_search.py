@@ -590,38 +590,63 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
 
         rmi_window = kmer_window if root == "kmer" else prmi_window
 
+        def text64_at(pos):
+            """64 text bases at position pos as 4 packed 16-base words,
+            straight from the ~50 MB packed text: 5 consecutive word takes
+            + per-lane shifts. Replaces the former 3.2 GB kt64 plane —
+            measured 2026-08-20: the moment a program touched that second
+            multi-GB host-uploaded plane, EVERY subsequent gather in the
+            process degraded ~100x (2 us -> 195 us, persistently); deep
+            reads from the small resident text keep the device in the
+            fast state, and mode 4 drops to 16 B/suffix. Word-exact match
+            with the old rows: the packed text carries all-T guard words
+            and clip pins past-the-end reads to them, mirroring the keys'
+            T-padding."""
+            base = (pos >> 4).astype(jnp.int32 if not wide else jnp.int64)
+            w = [jax.lax.optimization_barrier(
+                     jnp.take(d.text32, base + j, mode="clip"))
+                 for j in range(5)]
+            sh = (pos.astype(jnp.uint32) & jnp.uint32(15)) * jnp.uint32(2)
+            in_range = pos < n_sa
+            return [jnp.where(in_range, _combine(w[j], w[j + 1], sh), FULL)
+                    for j in range(4)]
+
         def deep_cmp(qbuf32, row, pivot, v, sa_idx, base_lcp, base_less,
                      resolved, start_off=32):
-            """Continue comparison from base `start_off`, 16-base text
-            chunks (start_off=0 is the MODE-1 positions-only tier: the
-            whole compare walks the packed text)."""
+            """Continue comparison from base `start_off` by statically
+            unrolled 64-base text segments (start_off=0 is the MODE-1
+            positions-only tier: the whole compare walks the packed
+            text). Replaces the former per-16-base while loop: each
+            segment is one fused round of 5 text takes + 4x3 query-word
+            takes; segments after the first run under a batch-wide
+            lax.cond (most lanes resolve early)."""
             tpos = sa_at(sa_idx)
+            st = (base_less, base_lcp, resolved)
+            total = max_read_words * 16
+            n64 = max(0, -(-(total - start_off) // 64))
+            for k in range(n64):
+                off = start_off + 64 * k
 
-            def cond(st):
-                step, resolved, less, lcp = st
-                return (step < max_read_words) & jnp.any(~resolved)
+                def seg(s, _off=off):
+                    less, lcp, res = s
+                    dr = text64_at(tpos + _off)
+                    kw = [query_word_at(qbuf32, row, pivot + _off + 16 * j)
+                          for j in range(4)]
+                    lk, l64 = _multiword_cmp(dr, kw, 64)
+                    rem = v - _off
+                    vck = jnp.clip(rem, 0, 64)
+                    diffk = l64 < vck
+                    lck = _off + jnp.minimum(l64, vck)
+                    lk = jnp.where(diffk, lk, False)
+                    return (jnp.where(res, less, lk),
+                            jnp.where(res, lcp, lck),
+                            res | diffk | (rem <= 64))
 
-            def body(st):
-                step, resolved, less, lcp = st
-                off = start_off + step * 16
-                qv = query_word_at(qbuf32, row, pivot + off)
-                tv = text_word_at(d.text32, tpos + off)
-                x = qv ^ tv
-                chunk_lcp = _lcp_bases32(x)
-                rem = v - off
-                this_lcp = jnp.minimum(chunk_lcp, jnp.maximum(rem, 0))
-                new_lcp = jnp.where(resolved, lcp, off + this_lcp)
-                diff_in = chunk_lcp < jnp.minimum(rem, 16)
-                new_less = jnp.where(
-                    resolved, less, jnp.where(diff_in, tv < qv, False)
-                )
-                now_resolved = resolved | diff_in | (rem <= 16)
-                return step + 1, now_resolved, new_less, new_lcp
-
-            _, resolved2, less, lcp = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), resolved, base_less, base_lcp)
-            )
-            return less, lcp
+                if k == 0 and start_off == 0:
+                    st = seg(st)  # the first segment always runs
+                else:
+                    st = jax.lax.cond(jnp.any(~st[2]), seg, lambda s: s, st)
+            return st[0], st[1]
 
         # (key_hi, key_lo) of a suffix rank in ONE 8-byte gather (deep
         # fallback path) / 32-base key of the suffix at a text position
@@ -749,27 +774,6 @@ def make_search_fns(di: DeviceIndex, max_read_words: int = 40,
             # read single columns, and tuples tile/concat cheaply)
             return tuple(_combine(cols[k], cols[k + 1], sh)
                          for k in range(n_ctx_words))
-
-        def text64_at(pos):
-            """64 text bases at position pos as 4 packed 16-base words,
-            straight from the ~50 MB packed text: 5 consecutive word takes
-            + per-lane shifts. Replaces the former 3.2 GB kt64 plane —
-            measured 2026-08-20: the moment a program touched that second
-            multi-GB host-uploaded plane, EVERY subsequent gather in the
-            process degraded ~100x (2 us -> 195 us, persistently); deep
-            reads from the small resident text keep the device in the
-            fast state, and mode 4 drops to 16 B/suffix. Word-exact match
-            with the old rows: the packed text carries all-T guard words
-            and clip pins past-the-end reads to them, mirroring the keys'
-            T-padding."""
-            base = (pos >> 4).astype(jnp.int32 if not wide else jnp.int64)
-            w = [jax.lax.optimization_barrier(
-                     jnp.take(d.text32, base + j, mode="clip"))
-                 for j in range(5)]
-            sh = (pos.astype(jnp.uint32) & jnp.uint32(15)) * jnp.uint32(2)
-            in_range = pos < n_sa
-            return [jnp.where(in_range, _combine(w[j], w[j + 1], sh), FULL)
-                    for j in range(4)]
 
         def cmp_ctx_rk(aw, v, sa_idx):
             """(less, lcp) of suffix rank sa_idx vs the ctx pattern[:v]:
