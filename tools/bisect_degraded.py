@@ -173,6 +173,42 @@ def main():
         t0 = time.perf_counter()
         jax.block_until_ready(flops(a))
         out["flops_ms_after"] = round((time.perf_counter() - t0) * 1e3, 1)
+    elif mode == "width":
+        # In the TRUE (post-fetch, synchronous) regime: how does the
+        # dependent-gather round cost scale with lane width? Latency-bound
+        # => widen the engine batch for free throughput.
+        packed = jax.block_until_ready(eng._pack([d1, d2, d3], cap))
+        np.asarray(packed[0] if isinstance(packed, tuple) else packed)
+        di = eng.di
+        n_sa = di.n_sa
+        src = di.rk if di.rk is not None else di.sa
+        res = {}
+        for L in (1024, 4096, 16384, 65536):
+            @jax.jit
+            def chain(t, x0, L=L):
+                def body(k, st):
+                    acc, x = st
+                    r0 = jnp.take(t, jnp.clip(x, 0, n_sa - 1), axis=0,
+                                  mode="clip")
+                    w = (r0[..., 1] if r0.ndim > 1 else r0).astype(
+                        jnp.int32)
+                    x = jax.lax.rem(x * jnp.int32(1103515245) + w,
+                                    jnp.int32(n_sa))
+                    x = jnp.where(x < 0, x + n_sa, x)
+                    return acc ^ w, x
+                z = jnp.zeros(L, jnp.int32)
+                return jax.lax.fori_loop(0, 64, body, (z, x0))[0]
+
+            x0 = jnp.asarray(np.random.default_rng(0).integers(
+                0, n_sa, L).astype(np.int32))
+            jax.block_until_ready(chain(src, x0))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                r = chain(src, x0)
+            jax.block_until_ready(r)
+            res[f"lanes{L}_us_per_round"] = round(
+                (time.perf_counter() - t0) / 3 / 64 * 1e6, 2)
+        out["width"] = res
     elif mode == "fetch-async":
         # candidate mitigation: start the d2h copy asynchronously and
         # consume it later — does the async path leave dispatch healthy?
